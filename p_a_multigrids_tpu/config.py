@@ -1,0 +1,109 @@
+"""Run configuration (replaces the reference's hard-coded mode dispatch).
+
+The reference has no runtime config: an integer ``mode`` and literal
+argument tuples in /root/reference/main.F90:16-51, with mesh path, n_split,
+ntime, theta, k etc. hard-coded inside each driver
+(transport_tri_semi.F90:99,117-140).  Here every knob is an explicit
+dataclass; drivers take a config and a mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Solver(enum.Enum):
+    JACOBI = "jacobi"              # solve_Jacobi (transport_tri_semi.F90:491)
+    RICHARDSON = "richardson"      # solve_Richardson (:511)
+    GAUSS_SEIDEL = "gauss_seidel"  # colored GS replacing :501
+    BLOCK_JACOBI = "block_jacobi"  # exact 3x3 block solves (TPU upgrade)
+    CHEBYSHEV = "chebyshev"        # Chebyshev-accelerated block-Jacobi
+    DIRECT = "direct"              # dense factorization (FINDInv replacement)
+
+
+@dataclasses.dataclass
+class Physics:
+    """Term toggles (transport_tri_semi.F90:55-57 activate_* flags)."""
+    advection: bool = False
+    diffusion: bool = True
+    # upwind advection flux + interior-penalty diffusion on faces; the
+    # reference's active mode 9 has these commented out (:619-688) — set
+    # False for reference-parity runs, True for the full physics.
+    surface_terms: bool = True
+    # full symmetric-interior-penalty consistency/symmetry terms.  The
+    # reference penalizes jumps only (add_diffusion_surf,
+    # matrices.F90:113-115), which is inconsistent for P1 DG (face nodes
+    # carry the trace, so jumps vanish at the exact solution and nothing
+    # approximates the diffusive flux); SIP restores optimal convergence.
+    # False reproduces the reference's penalty-only scheme.
+    sip_consistency: bool = True
+    penalty_factor: float = 4.0    # SIP eta (reference effectively 1.0)
+    k: float = 1.0                 # diffusion coefficient (:136)
+    u: tuple[float, float] = (0.0, 0.0)
+
+
+@dataclasses.dataclass
+class SemiConfig:
+    """Flagship semi-structured multigrid transport solve (modes 7-10)."""
+    n_split: int = 1
+    multi_levels: int = 1
+    n_multigrid: int = 2           # V-cycles per time step (main.F90:46)
+    n_smooth: int = 4              # pre/post smooth sweeps
+    coarse_sweeps: int = 15        # coarsest-level smoother iterations (:351)
+    ntime: int = 2
+    dt: float = 1.25e-5            # CFL*dx of the mode-9 call
+    theta: float = 1.0
+    omega: float = 0.8             # relaxation weight (:140)
+    solver: Solver = Solver.CHEBYSHEV
+    # Chebyshev smoothing interval [cheb_lower*lam_max, lam_max] of the
+    # block-preconditioned operator; degree = operator applications per
+    # smoothing phase.  Measured two-grid rho ~0.36 vs ~0.67 for 4 damped
+    # block-Jacobi sweeps at equal cost.
+    cheb_degree: int = 6
+    cheb_lower: float = 0.1
+    # coarsest-level treatment: exact dense solve (precomputed inverse,
+    # applied as one MXU matmul) when the coarsest system has at most this
+    # many DOF; otherwise `coarse_sweeps` smoother applications.  Replaces
+    # the reference's 15 Gauss-Seidel sweeps / FINDInv Gauss-Jordan
+    # (transport_tri_semi.F90:351-359, matrices.F90:1618-1716).
+    coarse_direct_max_dof: int = 4096
+    physics: Physics = dataclasses.field(default_factory=Physics)
+    # manufactured solution: Dirichlet/source/analytical sin(x+y)
+    # (splitting.F90:1401-1405, transport_tri_semi.F90:593)
+    manufactured: bool = True
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass
+class RectConfig:
+    """Structured rectangular DG advection (mode 1, transport_rect.F90)."""
+    no_ele_row: int = 200
+    no_ele_col: int = 1
+    x_length: float = 100.0
+    y_length: float = 100.0
+    cfl: float = 0.7
+    time: float = 250.0
+    nits: int = 2                  # nonlinearity iterations
+    njac_its: int = 10
+    u: tuple[float, float] = (2 * 0.01428571, 0.0)
+    direct_solver: bool = False
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass
+class TransportConfig:
+    """Triangular-mesh DG transport (modes 2-6)."""
+    cfl: float = 0.7
+    ntime: int = 2
+    dt: float | None = None        # defaults to cfl*dx
+    dx: float = 0.1
+    nits: int = 2
+    njac_its: int = 10
+    theta: float = 0.5
+    u: tuple[float, float] = (0.1, 0.0)
+    k: float = 0.0                 # diffusion coefficient (mode 6: 1.0)
+    diffusion: bool = False
+    implicit: bool = False
+    direct_solver: bool = False
+    dtype: str = "float32"

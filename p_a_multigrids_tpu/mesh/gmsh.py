@@ -1,0 +1,79 @@
+"""gmsh 2.2 ASCII reader.
+
+Feature parity with the reference's ``ReadMSH`` (/root/reference/
+Msh2Tri.F90:132-334): parses ``$Nodes`` / ``$Elements``, keeps the triangle
+element types {2, 9, 20, 21, 23, 24, 25} (only corner vertices), records the
+first tag as ``region_id``.  Unlike the reference this is a setup-time-only
+path and the neighbor search lives in :mod:`p_a_multigrids_tpu.mesh.topology`
+as an O(E) hash instead of the O(E^2) all-pairs ``CheckNeig`` that dominated
+the reference's runtime (grofiling.txt: 96.6%% of a full run).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# gmsh element types whose first three nodes are triangle corners
+_TRI_TYPES = {2, 9, 20, 21, 23, 24, 25}
+
+
+@dataclasses.dataclass
+class RawGmsh:
+    vertices: np.ndarray        # (nnodes, 3) float64
+    triangles: np.ndarray       # (E, 3) int32, 0-based vertex ids
+    region_id: np.ndarray       # (E,) int32
+
+
+def read_msh(path: str) -> RawGmsh:
+    with open(path) as f:
+        lines = f.read().split("\n")
+    i = 0
+
+    def seek(tag: str) -> int:
+        nonlocal i
+        while i < len(lines) and lines[i].strip() != tag:
+            i += 1
+        if i == len(lines):
+            raise ValueError(f"{path}: section {tag} not found")
+        i += 1
+        return i
+
+    seek("$MeshFormat")
+    parts = lines[i].split()
+    version = float(parts[0])
+    if not (2.0 <= version <= 2.2):
+        raise ValueError(f"{path}: unsupported gmsh version {version}; "
+                         "only 2.x ASCII is supported (Msh2Tri.F90:179-186)")
+    if int(parts[1]) != 0:
+        raise ValueError(f"{path}: binary .msh not supported")
+
+    seek("$Nodes")
+    nnodes = int(lines[i])
+    i += 1
+    vertices = np.zeros((nnodes, 3), np.float64)
+    for k in range(nnodes):
+        parts = lines[i + k].split()
+        idx = int(parts[0]) - 1
+        vertices[idx] = [float(parts[1]), float(parts[2]), float(parts[3])]
+    i += nnodes
+
+    seek("$Elements")
+    nelems = int(lines[i])
+    i += 1
+    tris = []
+    regions = []
+    for k in range(nelems):
+        parts = lines[i + k].split()
+        etype = int(parts[1])
+        if etype not in _TRI_TYPES:
+            continue
+        ntags = int(parts[2])
+        regions.append(int(parts[3]) if ntags >= 1 else 0)
+        base = 3 + ntags
+        tris.append([int(parts[base]), int(parts[base + 1]),
+                     int(parts[base + 2])])
+    triangles = np.asarray(tris, np.int32) - 1
+    region_id = np.asarray(regions, np.int32)
+    return RawGmsh(vertices=vertices, triangles=triangles, region_id=region_id)

@@ -1,0 +1,120 @@
+"""Macro-mesh neighbor topology by sorted-edge hashing — O(E).
+
+Replaces the reference's all-pairs coordinate-matching ``CheckNeig``
+(/root/reference/Msh2Tri.F90:780-963, called from :323-330) which is O(E^2)
+with a 9-way fuzzy vertex compare per pair and accounted for 96.6%% of a
+profiled run (grofiling.txt:7-9).  Here neighbor discovery is a single pass
+over element edges keyed on (min(vid), max(vid)).
+
+If the input mesh contains duplicated vertices (the reference tolerates them
+via ``AreEqual`` fuzzy matching), ``dedupe_vertices`` first canonicalizes
+vertex ids by quantized-coordinate hashing, preserving the fuzzy-match
+behavior at O(N).
+
+Face convention (MACRO_FACE_NODES, identical to the reference's Neig slots,
+Msh2Tri.F90:877-898):  face 0 = edge(node0, node2), face 1 = edge(node0,
+node1), face 2 = edge(node1, node2).
+
+``dir_flag[e, f]`` is True when element e and its neighbor traverse the
+shared edge in the same direction under their own local face orderings —
+the documented semantic of the reference's ``Dir`` (Structures.F90:137-141).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .splitting import MACRO_FACE_NODES
+
+try:  # optional C++ fast path (native/mesh_accel.cpp)
+    from ..utils import native as _native
+except Exception:  # pragma: no cover
+    _native = None
+
+
+@dataclasses.dataclass
+class MacroMesh:
+    """Unstructured macro-triangle mesh with neighbor topology."""
+    X: np.ndarray            # (U, 2, 3) vertex coordinates per element
+    tri: np.ndarray          # (U, 3) int32 global vertex ids
+    neig: np.ndarray         # (U, 3) int32 neighbor element per face, -1=bnd
+    neigh_face: np.ndarray   # (U, 3) int32 the neighbor's face id, -1=bnd
+    dir_flag: np.ndarray     # (U, 3) bool same-direction traversal
+    region_id: np.ndarray    # (U,) int32
+
+    @property
+    def num_elements(self) -> int:
+        return self.X.shape[0]
+
+
+def dedupe_vertices(vertices: np.ndarray, triangles: np.ndarray,
+                    tol: float = 1e-10):
+    """Canonicalize vertex ids so coincident points share one id.
+
+    Returns (canon_tri, canon_vertices): triangle connectivity in canonical
+    ids plus the matching coordinate array (one representative per id).
+    """
+    scale = max(np.abs(vertices).max(), 1.0)
+    q = np.round(vertices / (scale * tol)).astype(np.int64)
+    _, rep, canon = np.unique(q, axis=0, return_index=True,
+                              return_inverse=True)
+    return canon[triangles].astype(np.int32), vertices[rep]
+
+
+def build_macro_mesh(vertices: np.ndarray, triangles: np.ndarray,
+                     region_id: np.ndarray | None = None) -> MacroMesh:
+    """Build neighbor topology from shared vertex ids.
+
+    Args:
+      vertices: (nnodes, >=2) coordinates
+      triangles: (U, 3) 0-based vertex ids
+      region_id: optional (U,)
+    """
+    triangles, vertices = dedupe_vertices(vertices, triangles)
+    U = triangles.shape[0]
+    if region_id is None:
+        region_id = np.zeros((U,), np.int32)
+
+    if _native is not None and _native.available():
+        neig, neigh_face, dir_flag = _native.neighbor_topology(triangles)
+    else:
+        neig, neigh_face, dir_flag = _neighbor_topology_py(triangles)
+
+    X = np.transpose(vertices[triangles][:, :, :2], (0, 2, 1)).astype(
+        np.float64)   # (U, 2, 3)
+    return MacroMesh(X=X, tri=triangles, neig=neig, neigh_face=neigh_face,
+                     dir_flag=dir_flag, region_id=region_id.astype(np.int32))
+
+
+def _neighbor_topology_py(triangles: np.ndarray):
+    U = triangles.shape[0]
+    neig = np.full((U, 3), -1, np.int32)
+    neigh_face = np.full((U, 3), -1, np.int32)
+    dir_flag = np.zeros((U, 3), bool)
+
+    edge_map: dict[tuple[int, int], tuple[int, int, int]] = {}
+    for e in range(U):
+        for f in range(3):
+            a = int(triangles[e, MACRO_FACE_NODES[f, 0]])
+            b = int(triangles[e, MACRO_FACE_NODES[f, 1]])
+            key = (a, b) if a < b else (b, a)
+            if key in edge_map:
+                e2, f2, a2 = edge_map.pop(key)
+                neig[e, f] = e2
+                neig[e2, f2] = e
+                neigh_face[e, f] = f2
+                neigh_face[e2, f2] = f
+                same = a == a2
+                dir_flag[e, f] = same
+                dir_flag[e2, f2] = same
+            else:
+                edge_map[key] = (e, f, a)
+    return neig, neigh_face, dir_flag
+
+
+def from_msh(path: str) -> MacroMesh:
+    from . import gmsh
+    raw = gmsh.read_msh(path)
+    return build_macro_mesh(raw.vertices, raw.triangles, raw.region_id)

@@ -1,0 +1,697 @@
+"""Semi-structured geometric-multigrid transport solver — the flagship.
+
+Covers the reference's modes 7-10 (/root/reference/transport_tri_semi.F90):
+theta-implicit advection-diffusion on an unstructured macro mesh whose every
+triangle is split into 4**n_split children, smoothed with damped
+Jacobi/colored-GS/Richardson and accelerated by a geometric V-cycle over the
+nested hierarchy.
+
+TPU-first structure (not a port):
+
+- state is a dense tensor ``T[u, c, nloc]``; all child topology/geometry is
+  closed-form (mesh.splitting), so the smoother is a handful of batched
+  einsums + one neighbor gather — no per-element loops, no index math on
+  device (the reference recomputes get_str_info/get_splitting inside its
+  innermost loop, transport_tri_semi.F90:565-568);
+- per-macro element stencils (mass/advection/diffusion) are assembled once
+  per level at setup (the reference rebuilds them every smoothing sweep,
+  :562) and children reuse them via the exact 4**-s / 2**s scalings
+  (ShapFun.F90:1654-1682);
+- surface coupling (upwind flux + interior-penalty diffusion) uses the flat
+  neighbor tables of mesh.semi; the reference's active mode 9 has these
+  terms disabled (:619-688 commented out) — ``Physics.surface_terms=False``
+  reproduces that, True enables the full DG operator;
+- the V-cycle is a standard correction scheme with linear-interpolation
+  prolongation and corner-child averaging restriction (the reference's
+  restrictor, splitting.F90:10-32; its prolongator :38-91 mixes state into
+  the correction — deliberately not reproduced, see SURVEY.md section 7
+  "hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Physics, SemiConfig, Solver
+from ..mesh import geometry, semi, splitting
+from ..mesh.topology import MacroMesh
+from ..utils import shape_functions
+
+
+def manufactured_solution(x, y):
+    """boundary(x,y) = sin(x+y) (splitting.F90:1401-1405)."""
+    return np.sin(x + y)
+
+
+def manufactured_source(x, y, k):
+    """+2k sin(x+y) = -k*laplace(sin(x+y)).
+
+    The reference writes the source as -2k*sin (transport_tri_semi.F90:593),
+    but with its own +diff_vol operator sign (:444) that choice is
+    inconsistent with the strong form; in the active mode-9 configuration the
+    surface terms are disabled so the discrepancy was invisible.  We use the
+    sign for which the full DG operator converges to the manufactured
+    solution (verified by tests/test_semi.py).
+    """
+    return 2.0 * k * manufactured_solution(x, y)
+
+
+# ---------------------------------------------------------------------------
+# setup
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SemiProblem:
+    grid: semi.SemiGrid
+    cfg: SemiConfig
+    levels: list[dict]          # device arrays per level (0 = finest)
+    coords_fine: np.ndarray     # (U, C, 2, 3) finest child node coords
+    analytical: jax.Array       # (U, C, 3)
+
+    @property
+    def num_macro(self):
+        return self.grid.num_macro
+
+
+def _face_geometry(mesh: MacroMesh, ngi: int, sngi: int):
+    """Macro-element geometry in the *child-face* convention.
+
+    Returns numpy arrays:
+      detwei0 (U, ngi), nx0 (U, ngi, 2, 3),
+      sdet0 (U, 3, sngi)  edge |J|*w for child-convention faces,
+      snorm0 (U, 3, sngi, 2) outward unit normals (for an up child).
+    """
+    # pure NumPy: setup-time work must not pay XLA compiles
+    n, nlx, w = shape_functions.tri_p1(ngi)
+    jac = np.einsum("gal,ubl->ugab", nlx, mesh.X)
+    detj = jac[..., 0, 0] * jac[..., 1, 1] - jac[..., 0, 1] * jac[..., 1, 0]
+    detwei0 = 0.5 * np.abs(detj) * w                     # (U, ngi)
+    inv = np.empty_like(jac)
+    inv[..., 0, 0] = jac[..., 1, 1]
+    inv[..., 0, 1] = -jac[..., 0, 1]
+    inv[..., 1, 0] = -jac[..., 1, 0]
+    inv[..., 1, 1] = jac[..., 0, 0]
+    inv /= detj[..., None, None]
+    nx0 = np.einsum("ugab,gbl->ugal", inv, nlx)          # (U, ngi, 2, 3)
+
+    sn, snlx, sw = shape_functions.edge_p1(sngi)
+    U = mesh.num_elements
+    centroid = mesh.X.mean(axis=2)                       # (U, 2)
+    sdet0 = np.zeros((U, 3, sngi))
+    snorm0 = np.zeros((U, 3, sngi, 2))
+    for f in range(3):
+        a, b = splitting.CHILD_FACE_NODES[f]
+        xsl = mesh.X[:, :, [a, b]]                       # (U, 2, 2)
+        t = np.einsum("gl,ubl->ugb", snlx[:, 0, :], xsl)
+        tnorm = np.linalg.norm(t, axis=-1)               # (U, sngi)
+        sdet0[:, f] = tnorm * sw
+        nrm = np.stack([t[..., 1], -t[..., 0]], axis=-1) / tnorm[..., None]
+        approx = xsl.mean(axis=2) - centroid             # (U, 2)
+        sign = np.sign(np.sum(nrm * approx[:, None, :], axis=-1))
+        sign[sign == 0] = 1.0
+        snorm0[:, f] = nrm * sign[..., None]
+    return detwei0, nx0, sdet0, snorm0
+
+
+def _penalty_dx(mesh: MacroMesh, lvl: semi.SemiLevel) -> np.ndarray:
+    """Center-to-center distances for the k/dx penalty, per (u, c, face).
+
+    Three cases (matrices.F90:100-110 add_diffusion_surf):
+      intra-macro neighbor : child-centroid distance
+      cross-macro neighbor : macro centroid distance / 2**s
+      domain boundary      : (macro centroid to face midpoint) / 2**s
+    """
+    U = mesh.num_elements
+    n = lvl.n
+    C = 4 ** n
+    coords = splitting.child_coords(mesh.X, n)           # (U, C, 2, 3)
+    cent = coords.mean(axis=3)                           # (U, C, 2)
+    cent_flat = cent.reshape(U * C, 2)
+    neigh = lvl.neigh_elem                               # (U, C, 3)
+    safe = np.maximum(neigh, 0)
+    d_child = np.linalg.norm(
+        cent[:, :, None, :] - cent_flat[safe], axis=-1)  # (U, C, 3)
+
+    macro_cent = mesh.X.mean(axis=2)                     # (U, 2)
+    # cross-macro: which macro face does child-face f touch
+    cf2mf = splitting.CHILD2MACRO_FACE
+    d_macro = np.zeros((U, 3))
+    for mf in range(3):
+        v = mesh.neig[:, mf]
+        safe_v = np.maximum(v, 0)
+        dd = np.linalg.norm(macro_cent - macro_cent[safe_v], axis=-1)
+        a, b = splitting.MACRO_FACE_NODES[mf]
+        mid = 0.5 * (mesh.X[:, :, a] + mesh.X[:, :, b])
+        d_bnd = np.linalg.norm(macro_cent - mid, axis=-1)
+        d_macro[:, mf] = np.where(v >= 0, dd, d_bnd) / (2 ** n)
+
+    # classify each (u, c, f)
+    intra = np.broadcast_to(
+        (splitting.child_neighbors(n) >= 0)[None], (U, C, 3))
+    dx = np.where(intra, d_child, d_macro[:, None, :][:, :, cf2mf])
+    return np.maximum(dx, 1e-300)
+
+
+def _penalty_face_over_area(mesh: MacroMesh, lvl: semi.SemiLevel,
+                            sdet0: np.ndarray) -> np.ndarray:
+    """Shape-robust SIP penalty scale: max over the two incident elements of
+    |F| / |E| at child scale -> (U, C, 3).
+
+    The reference's centroid-distance 1/dx (add_diffusion_surf,
+    matrices.F90:100-110) under-penalizes stretched triangles, leaving the
+    SIP operator indefinite at moderate eta; |F|/|E| adapts to anisotropy
+    (standard SIP analysis).  Symmetric across each face by construction.
+    """
+    U = mesh.num_elements
+    n = lvl.n
+    C = 4 ** n
+    area_macro = np.abs(geometry.tri_area(mesh.X))        # (U,)
+    child_area = area_macro / (4.0 ** n)                  # (U,)
+    face_len = sdet0.sum(axis=2) / (2.0 ** n)             # (U, 3) child scale
+    my_ratio = face_len[:, None, :] / child_area[:, None, None]  # (U, 1, 3)
+    my_ratio = np.broadcast_to(my_ratio, (U, C, 3)).copy()
+    # neighbor's ratio: same face length, neighbor's child area
+    neigh_u = np.maximum(lvl.neigh_elem, 0) // C          # (U, C, 3)
+    nb_ratio = face_len[:, None, :] / child_area[neigh_u]
+    nb_ratio = np.where(lvl.neigh_elem >= 0, nb_ratio, my_ratio)
+    return np.maximum(my_ratio, nb_ratio)
+
+
+def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
+    grid = semi.build_grid(mesh, cfg.n_split, cfg.multi_levels)
+    dtype = jnp.dtype(cfg.dtype)
+    ngi, sngi = 3, 2
+    n_tab, nlx, w = shape_functions.tri_p1(ngi)
+    sn_tab, _, sw = shape_functions.edge_p1(sngi)
+    ft = shape_functions.tri_face_tables(ngi, sngi)
+    detwei0, nx0, sdet0, snorm0 = _face_geometry(mesh, ngi, sngi)
+    U = mesh.num_elements
+    k = cfg.physics.k
+    u_vec = np.asarray(cfg.physics.u)
+
+    # macro-scale stencils (children reuse via scalings)
+    M0 = np.einsum("gi,gj,ug->uij", n_tab, n_tab, detwei0)
+    ml0 = np.einsum("gj,ug->uj", n_tab, detwei0)
+    D0 = k * np.einsum("ugdi,ugdj,ug->uij", nx0, nx0, detwei0)
+    K0 = np.einsum("ugdi,d,gj,ug->uij", nx0, u_vec, n_tab, detwei0)
+
+    levels = []
+    for i, lvl in enumerate(grid.levels):
+        s = lvl.n
+        C = 4 ** s
+        scale_m = 1.0 / 4.0 ** s
+        scale_k = 1.0 / 2.0 ** s
+        if cfg.physics.sip_consistency:
+            inv_dx = _penalty_face_over_area(mesh, lvl, sdet0)
+            # Galerkin matching: a coarse function prolonged to the fine grid
+            # is penalized with the FINE |F|/|E| coefficient on its (coarse-
+            # face) jumps, which is 2**i times the coarse level's own ratio.
+            # Using the geometric (unscaled) coarse penalty under-penalizes
+            # the coarse operator and stalls the V-cycle.
+            inv_dx = inv_dx * (2.0 ** i)
+        else:
+            inv_dx = 1.0 / _penalty_dx(mesh, lvl)
+        # Dirichlet ghost endpoint values at boundary faces (finest level
+        # only; coarse correction equations use homogeneous ghosts)
+        bc_vals = np.zeros((len(lvl.bc_elem), 2))
+        if cfg.manufactured and i == 0:
+            bc_vals = manufactured_solution(lvl.bc_coords[:, :, 0],
+                                            lvl.bc_coords[:, :, 1])
+        L = dict(
+            n=jnp.asarray(n_tab, dtype),
+            sn=jnp.asarray(sn_tab, dtype),
+            face_sn=jnp.asarray(ft["face_sn"], dtype),
+            M=jnp.asarray(M0 * scale_m, dtype),
+            ml=jnp.asarray(ml0 * scale_m, dtype),
+            D=jnp.asarray(D0, dtype),
+            K=jnp.asarray(K0 * scale_k, dtype),
+            nx1=jnp.asarray(nx0[:, 0], dtype),   # (U, 2, nloc) P1 gradients
+
+            sdet=jnp.asarray(sdet0 * scale_k, dtype),
+            snorm=jnp.asarray(snorm0, dtype),
+            updown=jnp.asarray(lvl.updown, dtype),
+            neigh_elem=jnp.asarray(lvl.neigh_elem),
+            neigh_perm=jnp.asarray(lvl.neigh_perm),
+            bc_elem=jnp.asarray(lvl.bc_elem),
+            bc_face=jnp.asarray(lvl.bc_face),
+            bc_vals=jnp.asarray(bc_vals, dtype),
+            inv_dx=jnp.asarray(inv_dx, dtype),
+            C=C, s=s,
+        )
+        levels.append(L)
+
+    coords_fine = splitting.child_coords(mesh.X, cfg.n_split)
+    if cfg.manufactured:
+        ana = manufactured_solution(coords_fine[:, :, 0], coords_fine[:, :, 1])
+        src = manufactured_source(coords_fine[:, :, 0], coords_fine[:, :, 1],
+                                  k)
+    else:
+        ana = np.zeros(coords_fine[:, :, 0].shape)
+        src = np.zeros_like(ana)
+    levels[0]["source"] = jnp.asarray(src, dtype)
+
+    return SemiProblem(grid=grid, cfg=cfg, levels=levels,
+                       coords_fine=coords_fine,
+                       analytical=jnp.asarray(ana, dtype))
+
+
+# ---------------------------------------------------------------------------
+# operator
+# ---------------------------------------------------------------------------
+
+
+def neighbor_trace(L: dict, T: jax.Array, with_bc: bool) -> jax.Array:
+    """Neighbor DOF values at my two face nodes.
+
+    Returns T2 (U, C, 3, 2): for each face f, the neighbor's values at the
+    physical positions of my face nodes (a, b).  Domain-boundary faces get
+    the Dirichlet ghost values (or zero for correction equations).
+
+    This is the pure-functional replacement of update_overlaps
+    (splitting.F90:1210-1398) + get_semi_sn2_implicit
+    (ShapFun_unstruc.F90:282-300): one gather with a static permutation.
+    """
+    U, C, _ = T.shape
+    Tflat = T.reshape(U * C, -1)
+    safe = jnp.maximum(L["neigh_elem"], 0)               # (U, C, 3)
+    Tn = Tflat[safe]                                     # (U, C, 3, nloc)
+    T2 = jnp.take_along_axis(Tn, L["neigh_perm"], axis=-1)  # (U, C, 3, 2)
+    interior = (L["neigh_elem"] >= 0)[..., None]
+    bc = jnp.zeros((U * C, 3, 2), T.dtype)
+    if with_bc and L["bc_elem"].shape[0] > 0:
+        bc = bc.at[L["bc_elem"], L["bc_face"]].set(L["bc_vals"])
+    return jnp.where(interior, T2, bc.reshape(U, C, 3, 2))
+
+
+def apply_spatial(L: dict, phys: Physics, T: jax.Array,
+                  with_bc: bool) -> jax.Array:
+    """L(T): diffusion volume - advection stiffness + surface terms.
+
+    Matches A_x minus the mass terms (transport_tri_semi.F90:443-447):
+      L = -updown*K + D + flux + diff_surf
+    """
+    out = jnp.zeros_like(T)
+    if phys.diffusion:
+        out = out + jnp.einsum("uij,ucj->uci", L["D"], T)
+    if phys.advection:
+        Kt = jnp.einsum("uij,ucj->uci", L["K"], T)
+        out = out - L["updown"][None, :, None] * Kt
+    if phys.surface_terms:
+        T2 = neighbor_trace(L, T, with_bc)               # (U, C, 3, 2)
+        # traces at surface quadrature points
+        t_sgi = jnp.einsum("fgi,uci->ucfg", L["face_sn"], T)
+        t2_sgi = jnp.einsum("gk,ucfk->ucfg", L["sn"], T2)
+        sdet = L["sdet"][:, None]                        # (U, 1, 3, sngi)
+        # outward normals of each child: updown flips the macro-edge normal
+        snorm = L["snorm"][:, None] * L["updown"][None, :, None, None, None]
+        if phys.diffusion:
+            k = jnp.asarray(phys.k, T.dtype)
+            jump = (t_sgi - t2_sgi) * sdet               # (U, C, 3, sngi)
+            # penalty: eta (k/dx) sum_sg face_sn_i (t - t2) sdetwei
+            pen = jnp.einsum("fgi,ucf,ucfg->uci", L["face_sn"],
+                             phys.penalty_factor * k * L["inv_dx"], jump)
+            out = out + pen
+            if phys.sip_consistency:
+                # piecewise-constant P1 gradients of every element, then the
+                # neighbor's gradient by gather (one-sided at the boundary)
+                nxc = (L["nx1"][:, None] * (2.0 ** L["s"])
+                       * L["updown"][None, :, None, None])  # (U, C, 2, nloc)
+                G = jnp.einsum("ucdl,ucl->ucd", nxc, T)     # (U, C, 2)
+                U_, C_ = G.shape[:2]
+                self_flat = jnp.arange(U_ * C_).reshape(U_, C_, 1)
+                boundary = L["neigh_elem"] < 0               # (U, C, 3)
+                safe = jnp.where(boundary, self_flat, L["neigh_elem"])
+                G2 = G.reshape(U_ * C_, 2)[safe]            # (U, C, 3, 2)
+                gavg_n = 0.5 * jnp.einsum(
+                    "ucfd,ucfgd->ucfg", G[:, :, None] + G2, snorm)
+                # consistency: -sum_sg face_sn_i k {grad t . n} sdet
+                out = out - k * jnp.einsum("fgi,ucfg->uci", L["face_sn"],
+                                           gavg_n * sdet)
+                # symmetry: -w k (grad N_i . n) sum_sg (t - t2) sdet with
+                # w = 1/2 on interior faces ({grad N_i} average) and w = 1 on
+                # boundary faces (Nitsche: the test function lives on one
+                # side only) — matching the consistency term's weights.
+                w_face = jnp.where(boundary, 1.0, 0.5).astype(T.dtype)
+                nxn = jnp.einsum("ucdi,ucfgd->ucfgi", nxc, snorm)
+                out = out - k * jnp.einsum("ucf,ucfgi,ucfg->uci", w_face,
+                                           nxn, jump)
+        if phys.advection:
+            u_const = jnp.asarray(np.asarray(phys.u), T.dtype)
+            un = jnp.einsum("ucfgd,d->ucfg", snorm, u_const)
+            income = 0.5 + 0.5 * jnp.sign(-un)
+            s_cont = un * sdet * ((1.0 - income) * t_sgi + income * t2_sgi)
+            out = out + jnp.einsum("fgi,ucfg->uci", L["face_sn"], s_cont)
+    return out
+
+
+def apply_A(L: dict, phys: Physics, dt: float, theta: float, T: jax.Array,
+            with_bc: bool) -> jax.Array:
+    """A(T) = M T / dt + theta * L(T)  (transport_tri_semi.F90:443-447)."""
+    Mt = jnp.einsum("uij,ucj->uci", L["M"], T) / dt
+    return Mt + theta * apply_spatial(L, phys, T, with_bc)
+
+
+def diag_blocks_A(L: dict, phys: Physics, dt: float, theta: float
+                  ) -> jax.Array:
+    """Exact per-element diagonal blocks of A -> (U, C, nloc, nloc).
+
+    Includes every self-coupling: mass/dt, volume diffusion/advection, and
+    the element's own side of the SIP surface terms (penalty + consistency +
+    symmetry).  Used by the block-Jacobi smoother — exact 3x3 solves give a
+    far stronger smoother than the reference's lumped-diagonal point
+    relaxation (get_diagonal, transport_tri_semi.F90:481-486), which loses
+    stability on stretched meshes.
+    """
+    U = L["M"].shape[0]
+    C = L["updown"].shape[0]
+    dtype = L["M"].dtype
+    A = jnp.broadcast_to(L["M"][:, None] / dt, (U, C, 3, 3)).astype(dtype)
+    ud = L["updown"][None, :, None, None]
+    if phys.diffusion:
+        A = A + theta * L["D"][:, None]
+    if phys.advection:
+        A = A - theta * ud * L["K"][:, None]
+    if phys.surface_terms and phys.diffusion:
+        k = jnp.asarray(phys.k, dtype)
+        S0 = jnp.einsum("fgi,fgj,ufg->ufij", L["face_sn"], L["face_sn"],
+                        L["sdet"])
+        A = A + (theta * phys.penalty_factor * k
+                 * jnp.einsum("ucf,ufij->ucij", L["inv_dx"], S0))
+        if phys.sip_consistency:
+            nxc = (L["nx1"][:, None] * (2.0 ** L["s"])
+                   * L["updown"][None, :, None, None])
+            snorm = (L["snorm"][:, None]
+                     * L["updown"][None, :, None, None, None])
+            nn = jnp.einsum("ucfgd,ucdj->ucfgj", snorm, nxc)
+            w_face = jnp.where(L["neigh_elem"] < 0, 1.0, 0.5).astype(dtype)
+            cons = jnp.einsum("fgi,ufg,ucfgj,ucf->ucij", L["face_sn"],
+                              L["sdet"], nn, w_face)
+            A = A - theta * k * (cons + jnp.swapaxes(cons, -1, -2))
+    return A
+
+
+def diag_A(L: dict, phys: Physics, dt: float, theta: float) -> jax.Array:
+    """Approximate diagonal for point relaxation (get_diagonal, :481-486):
+    lumped mass / dt + theta * (diag(D) + penalty diagonal)."""
+    U = L["M"].shape[0]
+    C = L["updown"].shape[0]
+    d = jnp.broadcast_to(L["ml"][:, None] / dt, (U, C, 3)).astype(L["M"].dtype)
+    if phys.diffusion:
+        d = d + theta * jnp.diagonal(L["D"], axis1=-2, axis2=-1)[:, None]
+    if phys.surface_terms and phys.diffusion:
+        pen_diag = jnp.einsum("fgi,fgi,ufg->ufi", L["face_sn"], L["face_sn"],
+                              L["sdet"])                  # (U, 3faces, nloc)
+        d = d + (theta * phys.penalty_factor
+                 * jnp.asarray(phys.k, d.dtype)
+                 * jnp.einsum("ucf,ufi->uci", L["inv_dx"], pen_diag))
+    return d
+
+
+# ---------------------------------------------------------------------------
+# multigrid transfer
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _transfer_tables(n_coarse: int):
+    """Restriction/prolongation gather tables between split depths
+    n_coarse+1 (fine) and n_coarse (coarse).
+
+    Returns:
+      fine_of:  (Cc, 4) int32 — children of each coarse element (corner
+                children at coarse nodes 0..2, then the central child)
+      parent:   (Cf,) int32 — coarse parent of each fine element
+      pweights: (Cf, 3, 3) float — prolongation weights: correction at fine
+                node l = sum_k pweights[fc, l, k] * e_coarse[parent, k]
+                (linear interpolation in the coarse element).
+    """
+    fine_of = splitting.element_conversion(n_coarse)
+    Cc = fine_of.shape[0]
+    Cf = 4 ** (n_coarse + 1)
+    cv, _ = splitting.child_lattice(n_coarse)
+    fv, _ = splitting.child_lattice(n_coarse + 1)
+    parent = np.zeros((Cf,), np.int32)
+    for cc in range(Cc):
+        parent[fine_of[cc]] = cc
+    pweights = np.zeros((Cf, 3, 3))
+    for fc in range(Cf):
+        cc = parent[fc]
+        V = cv[cc].astype(float) * 2.0                   # coarse verts, fine units
+        A = np.stack([V[0] - V[2], V[1] - V[2]], axis=1)  # (2, 2)
+        for l in range(3):
+            p = fv[fc, l].astype(float)
+            ab = np.linalg.solve(A, p - V[2])
+            pweights[fc, l] = [ab[0], ab[1], 1.0 - ab.sum()]
+    return fine_of, parent, pweights
+
+
+def restrict(r_fine: jax.Array, n_coarse: int) -> jax.Array:
+    """Coarse RHS: transpose-of-prolongation restriction R = P^T.
+
+    DG residual entries are integrals against basis functions, and the
+    coarse P1 space is nested in the fine DG space, so P^T is the
+    variationally exact residual transfer: with it the two-level iteration
+    contracts for the full surface-coupled operator.  (The reference's
+    corner-child averaging, splitting.F90:10-32, is only stable for its
+    active block-diagonal operator; see restrict_corner_average.)
+    """
+    _, parent, pweights = _transfer_tables(n_coarse)
+    U, Cf, nloc = r_fine.shape
+    Cc = 4 ** n_coarse
+    contrib = jnp.einsum("flk,ufl->ufk",
+                         jnp.asarray(pweights, r_fine.dtype), r_fine)
+    out = jnp.zeros((U, Cc, nloc), r_fine.dtype)
+    return out.at[:, jnp.asarray(parent), :].add(contrib)
+
+
+def restrict_corner_average(r_fine: jax.Array, n_coarse: int) -> jax.Array:
+    """The reference's restrictor (splitting.F90:10-32): coarse node k takes
+    the mean of the residual over the corner child at that node."""
+    fine_of, _, _ = _transfer_tables(n_coarse)
+    corners = jnp.asarray(fine_of[:, :3])                # (Cc, 3)
+    return r_fine[:, corners, :].mean(axis=-1)           # (U, Cc, 3)
+
+
+def prolong(e_coarse: jax.Array, n_coarse: int) -> jax.Array:
+    """Fine correction by linear interpolation of the coarse correction."""
+    _, parent, pweights = _transfer_tables(n_coarse)
+    ec = e_coarse[:, jnp.asarray(parent), :]             # (U, Cf, 3)
+    return jnp.einsum("clk,uck->ucl",
+                      jnp.asarray(pweights, e_coarse.dtype), ec)
+
+
+# ---------------------------------------------------------------------------
+# solver
+# ---------------------------------------------------------------------------
+
+
+class SemiSolver:
+    """Jitted V-cycle transport solver over a SemiProblem."""
+
+    def __init__(self, problem: SemiProblem):
+        self.p = problem
+        self.cfg = problem.cfg
+        if self.cfg.solver in (Solver.BLOCK_JACOBI, Solver.CHEBYSHEV):
+            self._block_inv = [
+                jnp.linalg.inv(diag_blocks_A(L, self.cfg.physics,
+                                             self.cfg.dt, self.cfg.theta))
+                for L in problem.levels]
+        if self.cfg.solver == Solver.CHEBYSHEV:
+            self._lam_max = [self._estimate_lam_max(li)
+                             for li in range(len(problem.levels))]
+        self._coarse_inv = self._build_coarse_inverse()
+        self._step = jax.jit(self._make_step())
+
+    def _build_coarse_inverse(self):
+        """Dense inverse of the coarsest-level operator (if small enough).
+
+        The matrix is extracted by one vmapped application of A to the
+        identity and inverted once at setup; the in-cycle coarse solve is
+        then a single (N, N) x (N,) matmul — the TPU replacement for the
+        reference's FINDInv-based direct solves."""
+        cfg = self.cfg
+        if len(self.p.levels) == 1:
+            return None
+        L = self.p.levels[-1]
+        U = L["M"].shape[0]
+        C = L["updown"].shape[0]
+        N = U * C * 3
+        if N > cfg.coarse_direct_max_dof:
+            return None
+        eye = jnp.eye(N, dtype=L["M"].dtype).reshape(N, U, C, 3)
+        cols = jax.vmap(
+            lambda v: apply_A(L, cfg.physics, cfg.dt, cfg.theta, v,
+                              False))(eye)
+        A = cols.reshape(N, N).T
+        return jnp.linalg.inv(A)
+
+    def _estimate_lam_max(self, li: int) -> float:
+        """Power iteration on D^-1 A (homogeneous) with 10%% safety."""
+        L = self.p.levels[li]
+        cfg = self.cfg
+        Ainv = self._block_inv[li]
+        U, C = L["M"].shape[0], L["updown"].shape[0]
+        rng = np.random.default_rng(li)
+        v0 = jnp.asarray(rng.normal(size=(U, C, 3)), L["M"].dtype)
+
+        @jax.jit
+        def power(v):
+            def it(_, v):
+                w = jnp.einsum("ucij,ucj->uci", Ainv,
+                               apply_A(L, cfg.physics, cfg.dt, cfg.theta, v,
+                                       with_bc=False))
+                return w / jnp.linalg.norm(w)
+            v = jax.lax.fori_loop(0, 30, it, v)
+            w = jnp.einsum("ucij,ucj->uci", Ainv,
+                           apply_A(L, cfg.physics, cfg.dt, cfg.theta, v,
+                                   False))
+            return jnp.linalg.norm(w)
+
+        # generous safety: Chebyshev amplifies any eigenvalue beyond the
+        # interval, so overestimating lam_max is cheap and underestimating
+        # is fatal
+        return 1.2 * float(power(v0))
+
+    # -- smoothing ---------------------------------------------------------
+    def _smooth(self, li: int, x, b, sweeps: int, with_bc: bool):
+        cfg = self.cfg
+        L = self.p.levels[li]
+        phys = cfg.physics
+        dt, theta, omega = cfg.dt, cfg.theta, cfg.omega
+        A = lambda t: apply_A(L, phys, dt, theta, t, with_bc)
+        d = diag_A(L, phys, dt, theta)
+        if cfg.solver == Solver.CHEBYSHEV:
+            # product form: x <- x + (1/r_k) D^-1 (b - A x) over the
+            # Chebyshev roots r_k of [a, b]; roots interleaved large/small
+            # to keep intermediate amplification bounded in f32
+            Ainv = self._block_inv[li]
+            lam = self._lam_max[li]
+            a_, b_ = cfg.cheb_lower * lam, lam
+            m = cfg.cheb_degree
+            ks = np.arange(1, m + 1)
+            roots = (0.5 * (b_ + a_)
+                     + 0.5 * (b_ - a_) * np.cos(np.pi * (2 * ks - 1)
+                                                / (2 * m)))
+            order = []
+            lo, hi = 0, m - 1
+            while lo <= hi:
+                order.append(roots[lo]); lo += 1
+                if lo <= hi:
+                    order.append(roots[hi]); hi -= 1
+            def body(x, _):
+                for r in order:
+                    z = jnp.einsum("ucij,ucj->uci", Ainv, b - A(x))
+                    x = x + z / jnp.asarray(r, x.dtype)
+                return x, None
+            sweeps = max(1, sweeps // m)
+        elif cfg.solver == Solver.RICHARDSON:
+            def body(x, _):
+                return x + omega * (b - A(x)), None
+        elif cfg.solver == Solver.BLOCK_JACOBI:
+            Ainv = self._block_inv[li]
+            def body(x, _):
+                r = b - A(x)
+                return x + omega * jnp.einsum("ucij,ucj->uci", Ainv, r), None
+        elif cfg.solver == Solver.GAUSS_SEIDEL and phys.surface_terms:
+            up = (L["updown"] > 0)[None, :, None]
+            def body(x, _):
+                x = jnp.where(up, x + omega / d * (b - A(x)), x)
+                x = jnp.where(~up, x + omega / d * (b - A(x)), x)
+                return x, None
+        else:
+            # Jacobi; also exact GS-equivalent when there is no inter-element
+            # coupling (the reference's active mode 9 path)
+            def body(x, _):
+                return x + omega / d * (b - A(x)), None
+        x, _ = jax.lax.scan(body, x, None, length=sweeps)
+        return x
+
+    def residual(self, li: int, x, b, with_bc: bool):
+        L = self.p.levels[li]
+        return b - apply_A(L, self.cfg.physics, self.cfg.dt, self.cfg.theta,
+                           x, with_bc)
+
+    # -- V-cycle -----------------------------------------------------------
+    def _vcycle(self, li: int, x, b):
+        cfg = self.cfg
+        nl = len(self.p.levels)
+        with_bc = li == 0
+        if li == nl - 1:
+            if nl > 1 and self._coarse_inv is not None:
+                shape = x.shape
+                return (self._coarse_inv @ b.reshape(-1)).reshape(shape)
+            return self._smooth(li, x, b,
+                                cfg.coarse_sweeps if nl > 1 else cfg.n_smooth,
+                                with_bc)
+        x = self._smooth(li, x, b, cfg.n_smooth, with_bc)
+        r = self.residual(li, x, b, with_bc)
+        bc_ = restrict(r, self.p.levels[li + 1]["s"])
+        e = jnp.zeros_like(bc_)
+        e = self._vcycle(li + 1, e, bc_)
+        x = x + prolong(e, self.p.levels[li + 1]["s"])
+        x = self._smooth(li, x, b, cfg.n_smooth, with_bc)
+        return x
+
+    # -- time stepping -----------------------------------------------------
+    def _rhs(self, told):
+        """b = M told/dt + theta M s + (1-theta)(M s - L(told))."""
+        cfg = self.cfg
+        L = self.p.levels[0]
+        phys = cfg.physics
+        Ms = jnp.einsum("uij,ucj->uci", L["M"], L["source"])
+        b = jnp.einsum("uij,ucj->uci", L["M"], told) / cfg.dt + Ms
+        if cfg.theta < 1.0:
+            b = b - (1.0 - cfg.theta) * apply_spatial(L, phys, told, True)
+        return b
+
+    def _make_step(self):
+        def step(T):
+            told = T
+            b = self._rhs(told)
+            # scan over V-cycles: the graph is compiled once regardless of
+            # n_multigrid
+            def cycle(T, _):
+                return self._vcycle(0, T, b), None
+            T, _ = jax.lax.scan(cycle, T, None,
+                                length=self.cfg.n_multigrid)
+            return T
+        return step
+
+    def initial_condition(self) -> jax.Array:
+        """region_id == 4 painted to 1 (transport_tri_semi.F90:249-252)."""
+        U = self.p.num_macro
+        C = self.p.levels[0]["C"]
+        T = np.zeros((U, C, 3), self.p.analytical.dtype)
+        T[self.p.grid.macro.region_id == 4] = 1.0
+        return jnp.asarray(T)
+
+    def run(self, T=None, ntime: int | None = None):
+        if T is None:
+            T = self.initial_condition()
+        for _ in range(ntime or self.cfg.ntime):
+            T = self._step(T)
+        return T
+
+    def error(self, T) -> jax.Array:
+        """|T - analytical| (get_error, transport_tri_semi.F90:531-540)."""
+        return jnp.abs(T - self.p.analytical)
+
+    def convergence(self, T) -> jax.Array:
+        """L-inf norm of the residual (get_convergence, :876-889)."""
+        r = self.residual(0, T, self._rhs(T), True)
+        return jnp.max(jnp.abs(r))
+
+
+def solve(mesh: MacroMesh, cfg: SemiConfig | None = None):
+    cfg = cfg or SemiConfig()
+    problem = build_problem(mesh, cfg)
+    solver = SemiSolver(problem)
+    T = solver.run()
+    return solver, T

@@ -1,0 +1,72 @@
+import numpy as np
+import pytest
+
+from p_a_multigrids_tpu.mesh import structured, topology
+from p_a_multigrids_tpu.utils import native
+
+
+def test_structured_tri_mesh_topology():
+    mesh = structured.tri_mesh(3, 2, 0.1, 0.1)
+    assert mesh.num_elements == 12
+    # interior edge count: each shared edge appears in two elements
+    n_int = (mesh.neig >= 0).sum()
+    n_bnd = (mesh.neig < 0).sum()
+    assert n_int + n_bnd == 36
+    # boundary edges of a 3x2 rect split into tris: perimeter = 2*(3+2)=10
+    assert n_bnd == 10
+    # symmetry
+    for e in range(mesh.num_elements):
+        for f in range(3):
+            e2 = mesh.neig[e, f]
+            if e2 >= 0:
+                f2 = mesh.neigh_face[e, f]
+                assert mesh.neig[e2, f2] == e
+                assert mesh.dir_flag[e, f] == mesh.dir_flag[e2, f2]
+
+
+def test_gmsh_reader_and_topology(ref_meshdir):
+    # test_sn2.msh holds 12 triangles (plus 8 boundary line elements that
+    # the reader filters out, Msh2Tri.F90:264-269)
+    mesh = topology.from_msh(f"{ref_meshdir}/test_sn2.msh")
+    assert mesh.num_elements == 12
+    # every neighbor pair shares exactly 2 vertex coordinates
+    for e in range(mesh.num_elements):
+        for f in range(3):
+            e2 = mesh.neig[e, f]
+            if e2 < 0:
+                continue
+            a = mesh.X[e].T          # (3, 2)
+            b = mesh.X[e2].T
+            shared = sum(
+                1 for p in a if np.min(np.linalg.norm(b - p, axis=1)) < 1e-12)
+            assert shared == 2
+
+
+@pytest.mark.parametrize("name,nele", [
+    ("900_ele.msh", 800),
+    ("untitled8.msh", 8),
+    ("irregular.msh", 11),
+])
+def test_gmsh_element_counts(ref_meshdir, name, nele):
+    mesh = topology.from_msh(f"{ref_meshdir}/{name}")
+    assert mesh.num_elements == nele
+
+
+def test_native_matches_python():
+    mesh = structured.tri_mesh(4, 4, 1.0, 1.0)
+    if not native.available():
+        pytest.skip("native lib not built")
+    neig, nface, dirf = native.neighbor_topology(mesh.tri)
+    neig2, nface2, dirf2 = topology._neighbor_topology_py(mesh.tri)
+    assert (neig == neig2).all()
+    assert (nface == nface2).all()
+    assert (dirf == dirf2).all()
+
+
+def test_rect_mesh():
+    x_all, face_ele = structured.rect_mesh(3, 2, 1.0, 2.0)
+    assert x_all.shape == (6, 2, 4)
+    assert np.isclose(x_all[4, 0, 0], 1.0)   # element 4 = row1,col1
+    assert np.isclose(x_all[4, 1, 0], 2.0)
+    assert face_ele[0, 0] == -1 and face_ele[0, 1] == 1
+    assert face_ele[4, 0] == 1 and face_ele[4, 2] == -1

@@ -1,0 +1,132 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from p_a_multigrids_tpu.config import Physics, SemiConfig, Solver
+from p_a_multigrids_tpu.mesh import splitting, structured, topology
+from p_a_multigrids_tpu.models import semi as msemi
+
+
+@pytest.fixture(scope="module")
+def mesh(ref_meshdir):
+    return topology.from_msh(f"{ref_meshdir}/test_sn2.msh")
+
+
+def test_prolong_reproduces_linear_fields():
+    nc = 1
+    X = np.asarray([[[1.0, 0.2, 0.0], [0.0, 1.3, 0.1]]])
+    cc = splitting.child_coords(X, nc)
+    cf = splitting.child_coords(X, nc + 1)
+    f = lambda x, y: 2 * x - 3 * y + 0.5
+    ec = jnp.asarray(f(cc[:, :, 0, :], cc[:, :, 1, :]))
+    ef = msemi.prolong(ec, nc)
+    assert np.allclose(ef, f(cf[:, :, 0, :], cf[:, :, 1, :]), atol=1e-9)
+    assert np.allclose(msemi.prolong(jnp.ones_like(ec), nc), 1.0)
+
+
+def test_restrict_is_prolong_transpose():
+    nc = 1
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.normal(size=(2, 4 ** (nc + 1), 3)))
+    e = jnp.asarray(rng.normal(size=(2, 4 ** nc, 3)))
+    lhs = jnp.sum(msemi.restrict(r, nc) * e)
+    rhs = jnp.sum(r * msemi.prolong(e, nc))
+    assert np.isclose(float(lhs), float(rhs), rtol=1e-10)
+
+
+def test_operator_symmetry(mesh):
+    """The SIP diffusion operator must be symmetric: <Lx, y> == <x, Ly>
+    (with homogeneous boundary ghosts)."""
+    cfg = SemiConfig(n_split=1, multi_levels=1, dt=1.0, dtype="float64")
+    p = msemi.build_problem(mesh, cfg)
+    L = p.levels[0]
+    rng = np.random.default_rng(1)
+    shape = (mesh.num_elements, 4, 3)
+    x = jnp.asarray(rng.normal(size=shape))
+    y = jnp.asarray(rng.normal(size=shape))
+    Lx = msemi.apply_spatial(L, cfg.physics, x, with_bc=False)
+    Ly = msemi.apply_spatial(L, cfg.physics, y, with_bc=False)
+    assert np.isclose(float(jnp.sum(Lx * y)), float(jnp.sum(x * Ly)),
+                      rtol=1e-9)
+
+
+def test_manufactured_solution_gate(mesh):
+    """Steady diffusion with sin(x+y) manufactured solution: L1 < 0.01
+    (the reference's validation gate, Check_thermal_analytical_validation
+    .py:25 / My_version.py:21)."""
+    cfg = SemiConfig(n_split=2, multi_levels=2, dt=1e10, ntime=1,
+                     n_multigrid=1, dtype="float64")
+    s = msemi.SemiSolver(msemi.build_problem(mesh, cfg))
+    T = s.initial_condition()
+    b = s._rhs(T)
+    x = T
+    vc = jax.jit(lambda x: s._vcycle(0, x, b))
+    for _ in range(20):
+        x = vc(x)
+    err = np.asarray(s.error(x))
+    assert err.mean() < 0.01
+    assert float(jnp.abs(s.residual(0, x, b, True)).max()) < 5e-4
+
+
+def test_multigrid_accelerates(mesh):
+    """Two-level V-cycle must beat single-level smoothing at equal cycles
+    (the reference's level-sweep speedup shape, BASELINE.md)."""
+    res = {}
+    for ml in (1, 2):
+        cfg = SemiConfig(n_split=2, multi_levels=ml, dt=1e6, ntime=1,
+                         n_multigrid=1, dtype="float64")
+        s = msemi.SemiSolver(msemi.build_problem(mesh, cfg))
+        T = s.initial_condition()
+        b = s._rhs(T)
+        x = T
+        vc = jax.jit(lambda x: s._vcycle(0, x, b))
+        for _ in range(4):
+            x = vc(x)
+        res[ml] = float(jnp.abs(s.residual(0, x, b, True)).max())
+    assert res[2] < 0.2 * res[1]
+
+
+def test_refinement_convergence(mesh):
+    """Discretization error decreases under refinement (SIPG consistency)."""
+    errs = []
+    for n in (1, 2, 3):
+        cfg = SemiConfig(n_split=n, multi_levels=n, dt=1e10, ntime=1,
+                         n_multigrid=1, dtype="float64")
+        s = msemi.SemiSolver(msemi.build_problem(mesh, cfg))
+        T = s.initial_condition()
+        b = s._rhs(T)
+        x = T
+        vc = jax.jit(lambda x: s._vcycle(0, x, b))
+        for _ in range(25):
+            x = vc(x)
+        errs.append(float(np.asarray(s.error(x)).mean()))
+    assert errs[1] < 0.25 * errs[0]
+    assert errs[2] < 0.5 * errs[1]
+
+
+def test_time_stepping_stable(mesh):
+    """theta=1 stepping with source: bounded evolution, no NaNs."""
+    cfg = SemiConfig(n_split=1, multi_levels=1, ntime=3, dt=0.05,
+                     n_multigrid=2)
+    solver, T = msemi.solve(mesh, cfg)
+    assert np.isfinite(np.asarray(T)).all()
+    assert np.abs(np.asarray(T)).max() < 10.0
+
+
+def test_solver_variants_agree(mesh):
+    """Jacobi / GS / Richardson all reduce the residual."""
+    # point relaxation needs smaller omega than block relaxation on the
+    # SIP-penalized operator (the diagonal underestimates the row scale)
+    for solver_kind in (Solver.JACOBI, Solver.GAUSS_SEIDEL,
+                        Solver.RICHARDSON):
+        omega = 0.5 if solver_kind != Solver.RICHARDSON else 0.01
+        cfg = SemiConfig(n_split=1, multi_levels=1, dt=1e4, ntime=1,
+                         solver=solver_kind, omega=omega, dtype="float64")
+        s = msemi.SemiSolver(msemi.build_problem(mesh, cfg))
+        T = s.initial_condition()
+        b = s._rhs(T)
+        r0 = float(jnp.abs(s.residual(0, T, b, True)).max())
+        x = s._smooth(0, T, b, 30, True)
+        r1 = float(jnp.abs(s.residual(0, x, b, True)).max())
+        assert r1 < r0, solver_kind
