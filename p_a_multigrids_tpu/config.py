@@ -11,6 +11,26 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+from typing import Callable
+
+# scalar field callables take numpy arrays (x, y) and return an array
+FieldFn = Callable
+
+
+@dataclasses.dataclass
+class ProblemFns:
+    """Optional problem-defining callables (evaluated host-side at setup).
+
+    When unset and ``manufactured`` is on, the sin(x+y) manufactured
+    solution supplies all of them (splitting.F90:1401-1405).
+    """
+    bc: FieldFn | None = None          # Dirichlet ghost values g(x, y)
+    source: FieldFn | None = None      # volume source s(x, y)
+    analytical: FieldFn | None = None  # exact solution for error fields
+    ic: FieldFn | None = None          # initial condition T0(x, y)
+    # (x, y) of a boundary-face midpoint -> True where the face is no-flux
+    # (homogeneous Neumann) instead of weak Dirichlet.  None = all Dirichlet.
+    neumann: FieldFn | None = None
 
 
 class Solver(enum.Enum):
@@ -68,10 +88,18 @@ class SemiConfig:
     # the reference's 15 Gauss-Seidel sweeps / FINDInv Gauss-Jordan
     # (transport_tri_semi.F90:351-359, matrices.F90:1618-1716).
     coarse_direct_max_dof: int = 4096
+    # Krylov-accelerated implicit solves: each time step runs PCG (SPD
+    # diffusion) or BiCGStab (advective) with the V-cycle/smoother as
+    # preconditioner, instead of bare V-cycle iteration.  This is the
+    # replacement for the reference's densify-and-FINDInv implicit path.
+    krylov: bool = False
+    krylov_tol: float = 1e-8
+    krylov_maxiter: int = 200
     physics: Physics = dataclasses.field(default_factory=Physics)
     # manufactured solution: Dirichlet/source/analytical sin(x+y)
     # (splitting.F90:1401-1405, transport_tri_semi.F90:593)
     manufactured: bool = True
+    fns: ProblemFns = dataclasses.field(default_factory=ProblemFns)
     dtype: str = "float32"
 
 
@@ -106,4 +134,9 @@ class TransportConfig:
     diffusion: bool = False
     implicit: bool = False
     direct_solver: bool = False
+    # Rannacher startup: take the first two implicit steps with theta=1
+    # before switching to the configured theta.  Crank-Nicolson (theta=0.5)
+    # is not L-stable, so an initial-data/BC discontinuity rings forever at
+    # the boundary without it.
+    rannacher: bool = True
     dtype: str = "float32"

@@ -220,10 +220,22 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
             inv_dx = 1.0 / _penalty_dx(mesh, lvl)
         # Dirichlet ghost endpoint values at boundary faces (finest level
         # only; coarse correction equations use homogeneous ghosts)
+        bc_fn = cfg.fns.bc
+        if bc_fn is None and cfg.manufactured:
+            bc_fn = manufactured_solution
         bc_vals = np.zeros((len(lvl.bc_elem), 2))
-        if cfg.manufactured and i == 0:
-            bc_vals = manufactured_solution(lvl.bc_coords[:, :, 0],
-                                            lvl.bc_coords[:, :, 1])
+        if bc_fn is not None and i == 0 and len(lvl.bc_elem):
+            bc_vals = bc_fn(lvl.bc_coords[:, :, 0], lvl.bc_coords[:, :, 1])
+        # per-face BC type: diffusive surface terms are switched off on
+        # no-flux faces; advective flux there uses the interior trace
+        neu_mask = np.zeros((U, C, 3), bool)
+        if cfg.fns.neumann is not None and len(lvl.bc_elem):
+            mid = lvl.bc_coords.mean(axis=1)             # (nb, 2)
+            is_neu = np.asarray(cfg.fns.neumann(mid[:, 0], mid[:, 1]), bool)
+            flat = np.zeros((U * C, 3), bool)
+            flat[lvl.bc_elem, lvl.bc_face] = is_neu
+            neu_mask = flat.reshape(U, C, 3)
+        diff_on = np.where(neu_mask, 0.0, 1.0)
         L = dict(
             n=jnp.asarray(n_tab, dtype),
             sn=jnp.asarray(sn_tab, dtype),
@@ -243,18 +255,21 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
             bc_face=jnp.asarray(lvl.bc_face),
             bc_vals=jnp.asarray(bc_vals, dtype),
             inv_dx=jnp.asarray(inv_dx, dtype),
+            neu_mask=jnp.asarray(neu_mask),
+            diff_on=jnp.asarray(diff_on, dtype),
             C=C, s=s,
         )
         levels.append(L)
 
     coords_fine = splitting.child_coords(mesh.X, cfg.n_split)
+    xf, yf = coords_fine[:, :, 0], coords_fine[:, :, 1]
+    src_fn = cfg.fns.source
+    ana_fn = cfg.fns.analytical
     if cfg.manufactured:
-        ana = manufactured_solution(coords_fine[:, :, 0], coords_fine[:, :, 1])
-        src = manufactured_source(coords_fine[:, :, 0], coords_fine[:, :, 1],
-                                  k)
-    else:
-        ana = np.zeros(coords_fine[:, :, 0].shape)
-        src = np.zeros_like(ana)
+        src_fn = src_fn or (lambda x, y: manufactured_source(x, y, k))
+        ana_fn = ana_fn or manufactured_solution
+    src = src_fn(xf, yf) if src_fn else np.zeros(xf.shape)
+    ana = ana_fn(xf, yf) if ana_fn else np.zeros(xf.shape)
     levels[0]["source"] = jnp.asarray(src, dtype)
 
     return SemiProblem(grid=grid, cfg=cfg, levels=levels,
@@ -287,7 +302,11 @@ def neighbor_trace(L: dict, T: jax.Array, with_bc: bool) -> jax.Array:
     bc = jnp.zeros((U * C, 3, 2), T.dtype)
     if with_bc and L["bc_elem"].shape[0] > 0:
         bc = bc.at[L["bc_elem"], L["bc_face"]].set(L["bc_vals"])
-    return jnp.where(interior, T2, bc.reshape(U, C, 3, 2))
+    bc = bc.reshape(U, C, 3, 2)
+    # no-flux faces mirror the interior trace (zero jump)
+    own = T[:, :, jnp.asarray(splitting.CHILD_FACE_NODES)]   # (U, C, 3, 2)
+    bc = jnp.where(L["neu_mask"][..., None], own, bc)
+    return jnp.where(interior, T2, bc)
 
 
 def apply_spatial(L: dict, phys: Physics, T: jax.Array,
@@ -313,7 +332,10 @@ def apply_spatial(L: dict, phys: Physics, T: jax.Array,
         snorm = L["snorm"][:, None] * L["updown"][None, :, None, None, None]
         if phys.diffusion:
             k = jnp.asarray(phys.k, T.dtype)
-            jump = (t_sgi - t2_sgi) * sdet               # (U, C, 3, sngi)
+            # diffusive surface terms are disabled on no-flux faces (the
+            # advective flux below keeps the plain sdet)
+            sdet_d = sdet * L["diff_on"][..., None]
+            jump = (t_sgi - t2_sgi) * sdet_d             # (U, C, 3, sngi)
             # penalty: eta (k/dx) sum_sg face_sn_i (t - t2) sdetwei
             pen = jnp.einsum("fgi,ucf,ucfg->uci", L["face_sn"],
                              phys.penalty_factor * k * L["inv_dx"], jump)
@@ -333,7 +355,7 @@ def apply_spatial(L: dict, phys: Physics, T: jax.Array,
                     "ucfd,ucfgd->ucfg", G[:, :, None] + G2, snorm)
                 # consistency: -sum_sg face_sn_i k {grad t . n} sdet
                 out = out - k * jnp.einsum("fgi,ucfg->uci", L["face_sn"],
-                                           gavg_n * sdet)
+                                           gavg_n * sdet_d)
                 # symmetry: -w k (grad N_i . n) sum_sg (t - t2) sdet with
                 # w = 1/2 on interior faces ({grad N_i} average) and w = 1 on
                 # boundary faces (Nitsche: the test function lives on one
@@ -383,14 +405,16 @@ def diag_blocks_A(L: dict, phys: Physics, dt: float, theta: float
         S0 = jnp.einsum("fgi,fgj,ufg->ufij", L["face_sn"], L["face_sn"],
                         L["sdet"])
         A = A + (theta * phys.penalty_factor * k
-                 * jnp.einsum("ucf,ufij->ucij", L["inv_dx"], S0))
+                 * jnp.einsum("ucf,ufij->ucij",
+                              L["inv_dx"] * L["diff_on"], S0))
         if phys.sip_consistency:
             nxc = (L["nx1"][:, None] * (2.0 ** L["s"])
                    * L["updown"][None, :, None, None])
             snorm = (L["snorm"][:, None]
                      * L["updown"][None, :, None, None, None])
             nn = jnp.einsum("ucfgd,ucdj->ucfgj", snorm, nxc)
-            w_face = jnp.where(L["neigh_elem"] < 0, 1.0, 0.5).astype(dtype)
+            w_face = (jnp.where(L["neigh_elem"] < 0, 1.0, 0.5).astype(dtype)
+                      * L["diff_on"])
             cons = jnp.einsum("fgi,ufg,ucfgj,ucf->ucij", L["face_sn"],
                               L["sdet"], nn, w_face)
             A = A - theta * k * (cons + jnp.swapaxes(cons, -1, -2))
@@ -410,7 +434,8 @@ def diag_A(L: dict, phys: Physics, dt: float, theta: float) -> jax.Array:
                               L["sdet"])                  # (U, 3faces, nloc)
         d = d + (theta * phys.penalty_factor
                  * jnp.asarray(phys.k, d.dtype)
-                 * jnp.einsum("ucf,ufi->uci", L["inv_dx"], pen_diag))
+                 * jnp.einsum("ucf,ufi->uci",
+                              L["inv_dx"] * L["diff_on"], pen_diag))
     return d
 
 
@@ -619,10 +644,12 @@ class SemiSolver:
                            x, with_bc)
 
     # -- V-cycle -----------------------------------------------------------
-    def _vcycle(self, li: int, x, b):
+    def _vcycle(self, li: int, x, b, hom: bool = False):
+        """One V-cycle.  hom=True solves the homogeneous-BC (linear)
+        problem — used when the cycle acts as a Krylov preconditioner."""
         cfg = self.cfg
         nl = len(self.p.levels)
-        with_bc = li == 0
+        with_bc = li == 0 and not hom
         if li == nl - 1:
             if nl > 1 and self._coarse_inv is not None:
                 shape = x.shape
@@ -634,7 +661,7 @@ class SemiSolver:
         r = self.residual(li, x, b, with_bc)
         bc_ = restrict(r, self.p.levels[li + 1]["s"])
         e = jnp.zeros_like(bc_)
-        e = self._vcycle(li + 1, e, bc_)
+        e = self._vcycle(li + 1, e, bc_, hom)
         x = x + prolong(e, self.p.levels[li + 1]["s"])
         x = self._smooth(li, x, b, cfg.n_smooth, with_bc)
         return x
@@ -651,10 +678,31 @@ class SemiSolver:
             b = b - (1.0 - cfg.theta) * apply_spatial(L, phys, told, True)
         return b
 
+    def solve_system(self, b, x0):
+        """Solve A x = b (with Dirichlet ghosts folded in) by a V-cycle-
+        preconditioned Krylov method: PCG when the operator is symmetric
+        (no advection), BiCGStab otherwise."""
+        from ..ops import krylov
+
+        cfg = self.cfg
+        L = self.p.levels[0]
+        phys = cfg.physics
+        A_lin = lambda x: apply_A(L, phys, cfg.dt, cfg.theta, x, False)
+        # affine Dirichlet-ghost offset: A_affine(x) = A_lin(x) + c
+        c = apply_A(L, phys, cfg.dt, cfg.theta, jnp.zeros_like(b), True)
+        b_lin = b - c
+        precond = lambda r: self._vcycle(0, jnp.zeros_like(r), r, hom=True)
+        method = krylov.pcg if not phys.advection else krylov.bicgstab
+        x, _, _ = method(A_lin, b_lin, x0, precond=precond,
+                         tol=cfg.krylov_tol, maxiter=cfg.krylov_maxiter)
+        return x
+
     def _make_step(self):
         def step(T):
             told = T
             b = self._rhs(told)
+            if self.cfg.krylov:
+                return self.solve_system(b, T)
             # scan over V-cycles: the graph is compiled once regardless of
             # n_multigrid
             def cycle(T, _):
@@ -665,9 +713,14 @@ class SemiSolver:
         return step
 
     def initial_condition(self) -> jax.Array:
-        """region_id == 4 painted to 1 (transport_tri_semi.F90:249-252)."""
+        """ic callable if configured, else region_id == 4 painted to 1
+        (transport_tri_semi.F90:249-252)."""
         U = self.p.num_macro
         C = self.p.levels[0]["C"]
+        if self.cfg.fns.ic is not None:
+            cf = self.p.coords_fine
+            T = self.cfg.fns.ic(cf[:, :, 0], cf[:, :, 1])
+            return jnp.asarray(T, self.p.analytical.dtype)
         T = np.zeros((U, C, 3), self.p.analytical.dtype)
         T[self.p.grid.macro.region_id == 4] = 1.0
         return jnp.asarray(T)

@@ -1,0 +1,103 @@
+import dataclasses
+
+import numpy as np
+import pytest
+
+from p_a_multigrids_tpu.config import ProblemFns, RectConfig, TransportConfig
+from p_a_multigrids_tpu.mesh import splitting, structured, topology
+from p_a_multigrids_tpu.models import transport, transport_rect
+from p_a_multigrids_tpu.validation import analytical as va, gates, probe
+
+
+def _strip(nx, ny):
+    return structured.tri_mesh(nx, ny, 2.0 / nx, 0.1 / ny)
+
+
+def test_steady_mixed_bc_exact():
+    """Linear steady diffusion with Dirichlet ends + no-flux walls is exact
+    (tests the Neumann machinery and the Krylov implicit path)."""
+    mesh = _strip(20, 2)
+    tol = 1e-9
+    fns = ProblemFns(
+        bc=lambda x, y: np.where(np.asarray(x) < tol, 1.0, 0.0),
+        neumann=lambda x, y: (np.asarray(x) > tol) & (np.asarray(x) < 2 - tol),
+        ic=lambda x, y: np.zeros_like(np.asarray(x)))
+    cfg = TransportConfig(ntime=2, dt=1e9, u=(0.0, 0.0), k=1.0,
+                          diffusion=True, implicit=True, theta=1.0,
+                          dtype="float64")
+    solver, T = transport.solve(mesh, cfg, fns=fns)
+    coords = splitting.child_coords(mesh.X, 0).reshape(-1, 2, 3)
+    vals = np.asarray(T).reshape(-1, 3)
+    xs, sampled = probe.line_probe(coords, vals, y=0.025, x0=0.0, x1=2.0,
+                                   n=9)
+    assert np.allclose(sampled, 1.0 - xs / 2, atol=1e-6)
+
+
+def test_breakthrough_erfc_gate():
+    """The reference's erfc advection-diffusion validation at L1 < 0.01
+    (Check_thermal_analytical_validation.py gate, mode-6 capability)."""
+    mesh = _strip(60, 3)
+    setup = transport.BreakthroughSetup()
+    fns = transport.breakthrough_fns(setup, x_len=2.0)
+    ntime = 40
+    cfg = TransportConfig(ntime=ntime, dt=setup.t_end / ntime, u=(1.0, 0.0),
+                          k=1.0, diffusion=True, implicit=True, theta=0.5,
+                          dtype="float64")
+    solver, T = transport.solve(mesh, cfg, fns=fns)
+    coords = splitting.child_coords(mesh.X, 0).reshape(-1, 2, 3)
+    vals = np.asarray(T).reshape(-1, 3)
+    xs, sampled = probe.line_probe(coords, vals, y=0.0333, x0=0.0, x1=1.0,
+                                   n=202)
+    g = gates.check(sampled, va.breakthrough_erfc(xs, setup.t_end,
+                                                  setup.gamma))
+    assert g.passed, str(g)
+    # Rannacher startup keeps the inlet pinned (CN alone rings to ~0.84)
+    assert abs(sampled[0] - 1.0) < 0.01
+
+
+def test_explicit_advection_unstructured(ref_meshdir):
+    """Explicit DG advection on a gmsh mesh: bounded, mass transported."""
+    mesh = topology.from_msh(f"{ref_meshdir}/900_ele.msh")
+    fns = ProblemFns(
+        bc=lambda x, y: np.zeros_like(np.asarray(x)),
+        ic=lambda x, y: np.exp(-60.0 * ((np.asarray(x) - 0.3) ** 2
+                                        + (np.asarray(y) - 0.5) ** 2)))
+    cfg = TransportConfig(ntime=20, dt=2e-3, u=(1.0, 0.0), k=0.0,
+                          diffusion=False, implicit=False, dtype="float64")
+    solver, T = transport.solve(mesh, cfg, fns=fns)
+    T = np.asarray(T)
+    assert np.isfinite(T).all()
+    assert T.max() < 1.5 and T.min() > -0.5
+    # blob moved in +x: compare center of mass against initial
+    coords = splitting.child_coords(mesh.X, 0)
+    x = coords[:, :, 0, :]
+    T0 = np.asarray(solver.initial_condition())
+    com0 = (x * T0).sum() / T0.sum()
+    com1 = (x * T).sum() / T.sum()
+    assert com1 > com0 + 0.01
+
+
+def test_rect_moving_box():
+    """Mode 1: the advected box's center of mass shifts by exactly u*t and
+    mass is conserved (transport_rect.F90 moving-box comparison)."""
+    cfg = RectConfig(no_ele_row=100, no_ele_col=1, time=250.0,
+                     u=(2 * 0.01428571, 0.0), direct_solver=True,
+                     dtype="float64")
+    problem, T, dt, ntime = transport_rect.solve(cfg)
+    T = np.asarray(T)
+    xs = problem.x_all[:, 0, :]
+    com = (xs * T).sum() / T.sum()
+    lo = (cfg.no_ele_row // 5 - 1) * 1.0
+    hi = cfg.no_ele_row // 2 * 1.0
+    com_expected = 0.5 * (lo + hi) + cfg.u[0] * dt * ntime
+    assert abs(com - com_expected) < 1e-6
+    assert np.isclose(T.sum(), (hi - lo) * 4, rtol=1e-10)
+
+
+def test_rect_jacobi_matches_direct():
+    cfg_d = RectConfig(no_ele_row=40, no_ele_col=1, time=20.0,
+                       u=(0.05, 0.0), direct_solver=True, dtype="float64")
+    cfg_j = dataclasses.replace(cfg_d, direct_solver=False, njac_its=50)
+    _, Td, _, _ = transport_rect.solve(cfg_d)
+    _, Tj, _, _ = transport_rect.solve(cfg_j)
+    assert np.allclose(np.asarray(Td), np.asarray(Tj), atol=1e-6)
