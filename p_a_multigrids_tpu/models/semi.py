@@ -236,6 +236,10 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
             flat[lvl.bc_elem, lvl.bc_face] = is_neu
             neu_mask = flat.reshape(U, C, 3)
         diff_on = np.where(neu_mask, 0.0, 1.0)
+        bc_dense = np.zeros((U * C, 3, 2))
+        if len(lvl.bc_elem):
+            bc_dense[lvl.bc_elem, lvl.bc_face] = bc_vals
+        bc_dense = bc_dense.reshape(U, C, 3, 2)
         L = dict(
             n=jnp.asarray(n_tab, dtype),
             sn=jnp.asarray(sn_tab, dtype),
@@ -254,6 +258,7 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
             bc_elem=jnp.asarray(lvl.bc_elem),
             bc_face=jnp.asarray(lvl.bc_face),
             bc_vals=jnp.asarray(bc_vals, dtype),
+            bc_dense=jnp.asarray(bc_dense, dtype),
             inv_dx=jnp.asarray(inv_dx, dtype),
             neu_mask=jnp.asarray(neu_mask),
             diff_on=jnp.asarray(diff_on, dtype),
@@ -282,7 +287,24 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
 # ---------------------------------------------------------------------------
 
 
-def neighbor_trace(L: dict, T: jax.Array, with_bc: bool) -> jax.Array:
+def flat_gather(L: dict, X: jax.Array) -> jax.Array:
+    """Gather per-element data from across each face.
+
+    X (U, C, D) -> (U, C, 3, D): entry [u, c, f] is X of the element across
+    face f, or X of (u, c) itself on domain-boundary faces.  This is the
+    single-device implementation; the distributed solver substitutes a
+    shard_map/halo version with the same contract
+    (p_a_multigrids_tpu.parallel.halo).
+    """
+    U, C = X.shape[:2]
+    flat = X.reshape(U * C, *X.shape[2:])
+    self_flat = jnp.arange(U * C).reshape(U, C, 1)
+    safe = jnp.where(L["neigh_elem"] >= 0, L["neigh_elem"], self_flat)
+    return flat[safe]
+
+
+def neighbor_trace(L: dict, T: jax.Array, with_bc: bool,
+                   gather=flat_gather) -> jax.Array:
     """Neighbor DOF values at my two face nodes.
 
     Returns T2 (U, C, 3, 2): for each face f, the neighbor's values at the
@@ -294,23 +316,19 @@ def neighbor_trace(L: dict, T: jax.Array, with_bc: bool) -> jax.Array:
     (ShapFun_unstruc.F90:282-300): one gather with a static permutation.
     """
     U, C, _ = T.shape
-    Tflat = T.reshape(U * C, -1)
-    safe = jnp.maximum(L["neigh_elem"], 0)               # (U, C, 3)
-    Tn = Tflat[safe]                                     # (U, C, 3, nloc)
+    Tn = gather(L, T)                                    # (U, C, 3, nloc)
     T2 = jnp.take_along_axis(Tn, L["neigh_perm"], axis=-1)  # (U, C, 3, 2)
     interior = (L["neigh_elem"] >= 0)[..., None]
-    bc = jnp.zeros((U * C, 3, 2), T.dtype)
-    if with_bc and L["bc_elem"].shape[0] > 0:
-        bc = bc.at[L["bc_elem"], L["bc_face"]].set(L["bc_vals"])
-    bc = bc.reshape(U, C, 3, 2)
+    bc = (L["bc_dense"] if with_bc
+          else jnp.zeros_like(L["bc_dense"]))            # (U, C, 3, 2)
     # no-flux faces mirror the interior trace (zero jump)
     own = T[:, :, jnp.asarray(splitting.CHILD_FACE_NODES)]   # (U, C, 3, 2)
-    bc = jnp.where(L["neu_mask"][..., None], own, bc)
+    bc = jnp.where(L["neu_mask"][..., None], own, bc.astype(T.dtype))
     return jnp.where(interior, T2, bc)
 
 
 def apply_spatial(L: dict, phys: Physics, T: jax.Array,
-                  with_bc: bool) -> jax.Array:
+                  with_bc: bool, gather=flat_gather) -> jax.Array:
     """L(T): diffusion volume - advection stiffness + surface terms.
 
     Matches A_x minus the mass terms (transport_tri_semi.F90:443-447):
@@ -323,7 +341,7 @@ def apply_spatial(L: dict, phys: Physics, T: jax.Array,
         Kt = jnp.einsum("uij,ucj->uci", L["K"], T)
         out = out - L["updown"][None, :, None] * Kt
     if phys.surface_terms:
-        T2 = neighbor_trace(L, T, with_bc)               # (U, C, 3, 2)
+        T2 = neighbor_trace(L, T, with_bc, gather)       # (U, C, 3, 2)
         # traces at surface quadrature points
         t_sgi = jnp.einsum("fgi,uci->ucfg", L["face_sn"], T)
         t2_sgi = jnp.einsum("gk,ucfk->ucfg", L["sn"], T2)
@@ -346,11 +364,8 @@ def apply_spatial(L: dict, phys: Physics, T: jax.Array,
                 nxc = (L["nx1"][:, None] * (2.0 ** L["s"])
                        * L["updown"][None, :, None, None])  # (U, C, 2, nloc)
                 G = jnp.einsum("ucdl,ucl->ucd", nxc, T)     # (U, C, 2)
-                U_, C_ = G.shape[:2]
-                self_flat = jnp.arange(U_ * C_).reshape(U_, C_, 1)
                 boundary = L["neigh_elem"] < 0               # (U, C, 3)
-                safe = jnp.where(boundary, self_flat, L["neigh_elem"])
-                G2 = G.reshape(U_ * C_, 2)[safe]            # (U, C, 3, 2)
+                G2 = gather(L, G)                            # (U, C, 3, 2)
                 gavg_n = 0.5 * jnp.einsum(
                     "ucfd,ucfgd->ucfg", G[:, :, None] + G2, snorm)
                 # consistency: -sum_sg face_sn_i k {grad t . n} sdet
@@ -374,10 +389,10 @@ def apply_spatial(L: dict, phys: Physics, T: jax.Array,
 
 
 def apply_A(L: dict, phys: Physics, dt: float, theta: float, T: jax.Array,
-            with_bc: bool) -> jax.Array:
+            with_bc: bool, gather=flat_gather) -> jax.Array:
     """A(T) = M T / dt + theta * L(T)  (transport_tri_semi.F90:443-447)."""
     Mt = jnp.einsum("uij,ucj->uci", L["M"], T) / dt
-    return Mt + theta * apply_spatial(L, phys, T, with_bc)
+    return Mt + theta * apply_spatial(L, phys, T, with_bc, gather)
 
 
 def diag_blocks_A(L: dict, phys: Physics, dt: float, theta: float

@@ -1,0 +1,77 @@
+import jax
+import numpy as np
+import pytest
+
+from p_a_multigrids_tpu.config import SemiConfig, Solver
+from p_a_multigrids_tpu.mesh import structured, topology
+from p_a_multigrids_tpu.models import semi as msemi
+from p_a_multigrids_tpu.parallel import halo, partition
+from p_a_multigrids_tpu.parallel.solver import DistributedSemiSolver
+
+
+def test_bfs_partition_properties():
+    mesh = structured.tri_mesh(8, 8, 0.125, 0.125)
+    part = partition.partition_mesh(mesh, 8)
+    assert part.mesh.num_elements % 8 == 0
+    assert part.n_active == 128
+    # BFS blocks keep most faces local
+    assert partition.cut_fraction(part.mesh, 8) < 0.35
+
+
+def test_pad_mesh_isolated():
+    mesh = structured.tri_mesh(3, 1, 1.0, 1.0)   # 6 elements
+    padded, n_active = partition.pad_mesh(mesh, 4)
+    assert padded.num_elements == 8 and n_active == 6
+    assert (padded.neig[6:] == -1).all()
+
+
+def test_halo_plan_consistency():
+    mesh = structured.tri_mesh(4, 2, 0.25, 0.25)
+    grid_cfg = SemiConfig(n_split=1, multi_levels=1)
+    p = msemi.build_problem(mesh, grid_cfg)
+    neigh = np.asarray(p.levels[0]["neigh_elem"])
+    plan = halo.build_halo_plan(neigh, 4)
+    U, C = neigh.shape[:2]
+    U_loc = U // 4
+    block = U_loc * C
+    # every remote reference resolves to the right global element
+    for d in range(4):
+        blk = neigh[d * U_loc:(d + 1) * U_loc]
+        for (u, c, f) in zip(*np.nonzero(plan.is_remote[d])):
+            g = blk[u, c, f]
+            o = plan.src_dev[d, u, c, f]
+            slot = plan.src_slot[d, u, c, f]
+            assert plan.export_idx[o, slot] + o * block == g
+
+
+@pytest.mark.parametrize("solver_kind", [Solver.CHEBYSHEV,
+                                         Solver.BLOCK_JACOBI])
+def test_distributed_matches_serial(ref_meshdir, solver_kind):
+    """shard_map solver over 8 CPU devices reproduces the serial solver to
+    machine precision (the 'same-values-as-serial' multi-node assertion,
+    SURVEY.md section 4)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = topology.from_msh(f"{ref_meshdir}/test_sn2.msh")
+    cfg = SemiConfig(n_split=2, multi_levels=2, dt=0.05, ntime=2,
+                     n_multigrid=2, solver=solver_kind, dtype="float64")
+    dist = DistributedSemiSolver(mesh, cfg)
+    Td = dist.run()
+    ser = msemi.SemiSolver(msemi.build_problem(dist.part.mesh, cfg))
+    Ts = ser.run()
+    diff = np.abs(dist.active(Td)
+                  - np.asarray(Ts)[: dist.part.n_active]).max()
+    assert diff < 1e-12
+
+
+def test_distributed_structured_bigger():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = structured.tri_mesh(8, 4, 0.125, 0.25)    # 64 macro elements
+    cfg = SemiConfig(n_split=1, multi_levels=2, dt=0.1, ntime=1,
+                     n_multigrid=1, dtype="float64")
+    dist = DistributedSemiSolver(mesh, cfg)
+    Td = dist.run()
+    ser = msemi.SemiSolver(msemi.build_problem(dist.part.mesh, cfg))
+    Ts = ser.run()
+    assert np.abs(dist.active(Td) - np.asarray(Ts)).max() < 1e-12
