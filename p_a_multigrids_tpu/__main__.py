@@ -1,0 +1,134 @@
+"""CLI entry point — the replacement for the reference's hard-coded mode
+dispatch (/root/reference/main.F90:16-51).
+
+    python -m p_a_multigrids_tpu --mode 9 --mesh path/to.msh [options]
+
+Modes mirror the reference:
+  1  rect DG advection (trans_rec)
+  2  structured-tri explicit   3  structured-tri implicit
+  4  unstructured explicit     5  unstructured implicit
+  6  advection-diffusion (amin.F90)
+  7  semi explicit  8  semi implicit direct
+  9  semi implicit iterative multigrid (flagship)
+  10 semi implicit assembled (CSR/BSR path)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="p_a_multigrids_tpu")
+    ap.add_argument("--mode", type=int, default=9)
+    ap.add_argument("--mesh", type=str, default=None,
+                    help=".msh path (modes 4-10); generated mesh otherwise")
+    ap.add_argument("--rows", type=int, default=20)
+    ap.add_argument("--cols", type=int, default=20)
+    ap.add_argument("--n-split", type=int, default=2)
+    ap.add_argument("--levels", type=int, default=2)
+    ap.add_argument("--ntime", type=int, default=2)
+    ap.add_argument("--dt", type=float, default=None)
+    ap.add_argument("--theta", type=float, default=1.0)
+    ap.add_argument("--k", type=float, default=1.0)
+    ap.add_argument("--u", type=float, nargs=2, default=(0.0, 0.0))
+    ap.add_argument("--vtu", type=str, default=None,
+                    help="write the final Tracer field to this .vtu")
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the JAX_PLATFORMS env var "
+                         "is overridden by TPU plugins in some setups)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from .config import Physics, RectConfig, SemiConfig, Solver, \
+        TransportConfig
+    from .mesh import structured, topology
+
+    dtype = "float64" if args.f64 else "float32"
+    if args.f64:
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+    def load_mesh():
+        if args.mesh:
+            return topology.from_msh(args.mesh)
+        return structured.tri_mesh(args.rows, args.cols, 1.0 / args.rows,
+                                   1.0 / args.cols)
+
+    t0 = time.time()
+    out = {"mode": args.mode}
+    if args.mode == 1:
+        from .models import transport_rect
+        cfg = RectConfig(no_ele_row=args.rows, no_ele_col=args.cols,
+                         u=tuple(args.u) if any(args.u) else
+                         (2 * 0.01428571, 0.0), dtype=dtype)
+        problem, T, dt, ntime = transport_rect.solve(cfg)
+        out.update(ntime=ntime, dt=dt,
+                   t_range=[float(np.asarray(T).min()),
+                            float(np.asarray(T).max())])
+        coords, vals = problem.x_all, np.asarray(T)
+    elif args.mode in (2, 3, 4, 5, 6):
+        from .mesh import splitting
+        from .models import transport
+        mesh = load_mesh()
+        cfg = TransportConfig(
+            ntime=args.ntime, dt=args.dt, u=tuple(args.u), k=args.k,
+            diffusion=args.mode == 6 or args.k != 0.0,
+            implicit=args.mode in (3, 5, 6), theta=args.theta, dtype=dtype)
+        solver, T = transport.solve(mesh, cfg)
+        coords = splitting.child_coords(mesh.X, 0).reshape(-1, 2, 3)
+        vals = np.asarray(T).reshape(-1, 3)
+        out.update(elements=mesh.num_elements)
+    elif args.mode in (7, 8, 9, 10):
+        from .io import vtu as vtu_io
+        from .models import semi, semi_assembled
+        mesh = load_mesh()
+        cfg = SemiConfig(
+            n_split=args.n_split, multi_levels=args.levels,
+            ntime=args.ntime, dt=args.dt or 1.25e-5, theta=args.theta,
+            physics=Physics(k=args.k, u=tuple(args.u),
+                            advection=any(args.u)),
+            dtype=dtype)
+        if args.mode == 7:
+            import dataclasses
+            cfg = dataclasses.replace(
+                cfg, theta=0.0, multi_levels=1, n_multigrid=1, n_smooth=1,
+                omega=1.0, solver=Solver.BLOCK_JACOBI)
+        if args.mode == 8:
+            solver, T = semi_assembled.direct_solve(mesh, cfg)
+        else:
+            problem = semi.build_problem(mesh, cfg)
+            cls = (semi_assembled.AssembledSemiSolver if args.mode == 10
+                   else semi.SemiSolver)
+            solver = cls(problem)
+            T = solver.run()
+        err = np.asarray(solver.error(T))
+        out.update(elements=mesh.num_elements,
+                   children=4 ** args.n_split,
+                   L1_error=float(err.mean()),
+                   residual=float(solver.convergence(T)))
+        coords = vtu_io.semi_coords(mesh.X, args.n_split)
+        vals = np.asarray(T).reshape(-1, 3)
+    else:
+        raise SystemExit(f"unknown mode {args.mode}")
+
+    out["wall_s"] = round(time.time() - t0, 3)
+    if args.vtu:
+        from .io import vtu as vtu_io
+        fields = {"Tracer": vals}
+        vtu_io.write_vtu(args.vtu, coords, fields,
+                         cell_type=9 if args.mode == 1 else 5)
+        out["vtu"] = args.vtu
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

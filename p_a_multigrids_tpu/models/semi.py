@@ -264,6 +264,26 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
             diff_on=jnp.asarray(diff_on, dtype),
             C=C, s=s,
         )
+        # structured-gather tables: the intra-macro child adjacency is one
+        # small static index set shared by every macro element, so the
+        # neighbor gather decomposes into a tiny static gather plus a
+        # boundary-strip gather (O(2**s) per macro) — far cheaper than one
+        # random gather over all U*C*3 faces.
+        cn = splitting.child_neighbors(s)                # (C, 3)
+        intra_idx = np.where(cn >= 0, cn, np.arange(C)[:, None])
+        bnd_c, bnd_f = np.nonzero(cn < 0)
+        nb = len(bnd_c)
+        slot_of = np.zeros((C, 3), np.int64)
+        slot_of[bnd_c, bnd_f] = np.arange(nb)
+        self_flat = (np.arange(U)[:, None] * C + bnd_c[None, :])
+        halo_src = np.asarray(lvl.neigh_elem)[:, bnd_c, bnd_f]
+        halo_src = np.where(halo_src >= 0, halo_src, self_flat)
+        L.update(
+            intra_idx=jnp.asarray(intra_idx),
+            intra_mask=jnp.asarray(cn >= 0),
+            slot_of=jnp.asarray(slot_of),
+            halo_src=jnp.asarray(halo_src),
+        )
         levels.append(L)
 
     coords_fine = splitting.child_coords(mesh.X, cfg.n_split)
@@ -301,6 +321,24 @@ def flat_gather(L: dict, X: jax.Array) -> jax.Array:
     self_flat = jnp.arange(U * C).reshape(U, C, 1)
     safe = jnp.where(L["neigh_elem"] >= 0, L["neigh_elem"], self_flat)
     return flat[safe]
+
+
+def structured_gather(L: dict, X: jax.Array) -> jax.Array:
+    """flat_gather with the semi-structured decomposition.
+
+    Intra-macro faces use the shared static child table (one gather with
+    C*3 indices, independent of U); only the 3*2**s boundary-strip faces
+    per macro need the cross-macro gather.  Identical results to
+    flat_gather; much cheaper to lower.
+    """
+    U, C = X.shape[:2]
+    trail = X.shape[2:]
+    intra = X[:, L["intra_idx"]]                         # (U, C, 3, ...)
+    flat = X.reshape(U * C, *trail)
+    halo = flat[L["halo_src"]]                           # (U, nb, ...)
+    cross = halo[:, L["slot_of"]]                        # (U, C, 3, ...)
+    mask = L["intra_mask"].reshape((1, C, 3) + (1,) * len(trail))
+    return jnp.where(mask, intra, cross)
 
 
 def neighbor_trace(L: dict, T: jax.Array, with_bc: bool,
@@ -433,6 +471,15 @@ def diag_blocks_A(L: dict, phys: Physics, dt: float, theta: float
             cons = jnp.einsum("fgi,ufg,ucfgj,ucf->ucij", L["face_sn"],
                               L["sdet"], nn, w_face)
             A = A - theta * k * (cons + jnp.swapaxes(cons, -1, -2))
+    if phys.surface_terms and phys.advection:
+        snorm = L["snorm"][:, None] * L["updown"][None, :, None, None, None]
+        u_const = jnp.asarray(np.asarray(phys.u), dtype)
+        un = jnp.einsum("ucfgd,d->ucfg", snorm, u_const)
+        income = 0.5 + 0.5 * jnp.sign(-un)
+        sdet = jnp.broadcast_to(L["sdet"][:, None], un.shape)
+        # my-side upwind flux: + sum_f,g face_sn_i un sdet (1-income) face_sn_j
+        A = A + theta * jnp.einsum("fgi,ucfg,fgj->ucij", L["face_sn"],
+                                   un * sdet * (1.0 - income), L["face_sn"])
     return A
 
 
@@ -538,6 +585,7 @@ class SemiSolver:
     def __init__(self, problem: SemiProblem):
         self.p = problem
         self.cfg = problem.cfg
+        self._gather = structured_gather
         if self.cfg.solver in (Solver.BLOCK_JACOBI, Solver.CHEBYSHEV):
             self._block_inv = [
                 jnp.linalg.inv(diag_blocks_A(L, self.cfg.physics,
@@ -546,8 +594,28 @@ class SemiSolver:
         if self.cfg.solver == Solver.CHEBYSHEV:
             self._lam_max = [self._estimate_lam_max(li)
                              for li in range(len(problem.levels))]
+        self._fused = None
+        if self.cfg.fast_operator:
+            from ..ops import fused as _fused
+            self._fmod = _fused
+            self._fused = [
+                _fused.FusedOperator(L, self.cfg.physics, self.cfg.dt,
+                                     self.cfg.theta)
+                for L in problem.levels]
+            if hasattr(self, "_block_inv"):
+                self._binv_t = [jnp.transpose(B, (2, 3, 1, 0))
+                                for B in self._block_inv]
         self._coarse_inv = self._build_coarse_inverse()
         self._step = jax.jit(self._make_step())
+
+    def _apply(self, li: int, T, with_bc: bool):
+        """Operator application choosing the fused fast path when on."""
+        if self._fused is not None:
+            f = self._fmod
+            return f.from_t(self._fused[li].apply(f.to_t(T), with_bc))
+        L = self.p.levels[li]
+        return apply_A(L, self.cfg.physics, self.cfg.dt, self.cfg.theta, T,
+                       with_bc, self._gather)
 
     def _build_coarse_inverse(self):
         """Dense inverse of the coarsest-level operator (if small enough).
@@ -568,7 +636,7 @@ class SemiSolver:
         eye = jnp.eye(N, dtype=L["M"].dtype).reshape(N, U, C, 3)
         cols = jax.vmap(
             lambda v: apply_A(L, cfg.physics, cfg.dt, cfg.theta, v,
-                              False))(eye)
+                              False, self._gather))(eye)
         A = cols.reshape(N, N).T
         return jnp.linalg.inv(A)
 
@@ -586,12 +654,12 @@ class SemiSolver:
             def it(_, v):
                 w = jnp.einsum("ucij,ucj->uci", Ainv,
                                apply_A(L, cfg.physics, cfg.dt, cfg.theta, v,
-                                       with_bc=False))
+                                       False, self._gather))
                 return w / jnp.linalg.norm(w)
             v = jax.lax.fori_loop(0, 30, it, v)
             w = jnp.einsum("ucij,ucj->uci", Ainv,
                            apply_A(L, cfg.physics, cfg.dt, cfg.theta, v,
-                                   False))
+                                   False, self._gather))
             return jnp.linalg.norm(w)
 
         # generous safety: Chebyshev amplifies any eigenvalue beyond the
@@ -599,13 +667,63 @@ class SemiSolver:
         # is fatal
         return 1.2 * float(power(v0))
 
+    def _cheb_roots(self, li: int):
+        cfg = self.cfg
+        lam = self._lam_max[li]
+        a_, b_ = cfg.cheb_lower * lam, lam
+        m = cfg.cheb_degree
+        ks = np.arange(1, m + 1)
+        roots = (0.5 * (b_ + a_)
+                 + 0.5 * (b_ - a_) * np.cos(np.pi * (2 * ks - 1) / (2 * m)))
+        order = []
+        lo, hi = 0, m - 1
+        while lo <= hi:
+            order.append(roots[lo]); lo += 1
+            if lo <= hi:
+                order.append(roots[hi]); hi -= 1
+        return order
+
+    def _smooth_fused_t(self, li: int, xt, bt, sweeps: int, with_bc: bool):
+        """Chebyshev/block-Jacobi smoothing entirely in transposed layout:
+        no transposes inside the iteration."""
+        cfg = self.cfg
+        op = self._fused[li]
+        Binv = self._binv_t[li]                          # (3, 3, C, U)
+
+        def solve_blocks(rt):
+            return jnp.stack([
+                Binv[i, 0] * rt[0] + Binv[i, 1] * rt[1] + Binv[i, 2] * rt[2]
+                for i in range(3)])
+
+        if cfg.solver == Solver.CHEBYSHEV:
+            order = self._cheb_roots(li)
+
+            def body(xt, _):
+                for r in order:
+                    z = solve_blocks(bt - op.apply(xt, with_bc))
+                    xt = xt + z / jnp.asarray(r, xt.dtype)
+                return xt, None
+            sweeps = max(1, sweeps // cfg.cheb_degree)
+        else:  # BLOCK_JACOBI
+            def body(xt, _):
+                z = solve_blocks(bt - op.apply(xt, with_bc))
+                return xt + cfg.omega * z, None
+        xt, _ = jax.lax.scan(body, xt, None, length=sweeps)
+        return xt
+
     # -- smoothing ---------------------------------------------------------
     def _smooth(self, li: int, x, b, sweeps: int, with_bc: bool):
         cfg = self.cfg
         L = self.p.levels[li]
         phys = cfg.physics
         dt, theta, omega = cfg.dt, cfg.theta, cfg.omega
-        A = lambda t: apply_A(L, phys, dt, theta, t, with_bc)
+        if (self._fused is not None
+                and cfg.solver in (Solver.CHEBYSHEV, Solver.BLOCK_JACOBI)):
+            f = self._fmod
+            xt = self._smooth_fused_t(li, f.to_t(x), f.to_t(b), sweeps,
+                                      with_bc)
+            return f.from_t(xt)
+        A = lambda t: self._apply(li, t, with_bc)
         d = diag_A(L, phys, dt, theta)
         if cfg.solver == Solver.CHEBYSHEV:
             # product form: x <- x + (1/r_k) D^-1 (b - A x) over the
@@ -654,9 +772,7 @@ class SemiSolver:
         return x
 
     def residual(self, li: int, x, b, with_bc: bool):
-        L = self.p.levels[li]
-        return b - apply_A(L, self.cfg.physics, self.cfg.dt, self.cfg.theta,
-                           x, with_bc)
+        return b - self._apply(li, x, with_bc)
 
     # -- V-cycle -----------------------------------------------------------
     def _vcycle(self, li: int, x, b, hom: bool = False):
@@ -690,7 +806,8 @@ class SemiSolver:
         Ms = jnp.einsum("uij,ucj->uci", L["M"], L["source"])
         b = jnp.einsum("uij,ucj->uci", L["M"], told) / cfg.dt + Ms
         if cfg.theta < 1.0:
-            b = b - (1.0 - cfg.theta) * apply_spatial(L, phys, told, True)
+            b = b - (1.0 - cfg.theta) * apply_spatial(L, phys, told, True,
+                                                      self._gather)
         return b
 
     def solve_system(self, b, x0):
@@ -702,9 +819,9 @@ class SemiSolver:
         cfg = self.cfg
         L = self.p.levels[0]
         phys = cfg.physics
-        A_lin = lambda x: apply_A(L, phys, cfg.dt, cfg.theta, x, False)
+        A_lin = lambda x: self._apply(0, x, False)
         # affine Dirichlet-ghost offset: A_affine(x) = A_lin(x) + c
-        c = apply_A(L, phys, cfg.dt, cfg.theta, jnp.zeros_like(b), True)
+        c = self._apply(0, jnp.zeros_like(b), True)
         b_lin = b - c
         precond = lambda r: self._vcycle(0, jnp.zeros_like(r), r, hom=True)
         method = krylov.pcg if not phys.advection else krylov.bicgstab
