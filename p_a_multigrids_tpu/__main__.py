@@ -36,6 +36,15 @@ def main(argv=None):
     ap.add_argument("--u", type=float, nargs=2, default=(0.0, 0.0))
     ap.add_argument("--vtu", type=str, default=None,
                     help="write the final Tracer field to this .vtu")
+    ap.add_argument("--ic", type=str, default=None, metavar="EXPR",
+                    help="initial condition as an expression of x, y "
+                         "(e.g. 'sin(pi*x)*sin(pi*y)')")
+    ap.add_argument("--bc", type=str, default=None, metavar="EXPR",
+                    help="Dirichlet boundary value expression of x, y")
+    ap.add_argument("--source", type=str, default=None, metavar="EXPR",
+                    help="volume source expression of x, y")
+    ap.add_argument("--analytical", type=str, default=None, metavar="EXPR",
+                    help="exact solution expression (for the error field)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the JAX_PLATFORMS env var "
@@ -58,10 +67,25 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
 
     def load_mesh():
+        if args.mesh and args.mesh.endswith(".geo"):
+            from .mesh import geo
+            return geo.mesh_geo(args.mesh)
         if args.mesh:
             return topology.from_msh(args.mesh)
         return structured.tri_mesh(args.rows, args.cols, 1.0 / args.rows,
                                    1.0 / args.cols)
+
+    def problem_fns():
+        """--ic/--bc/--source/--analytical strings -> ProblemFns (the
+        runtime role of the reference's evaluate.F90 expression engine)."""
+        from .config import ProblemFns
+        from .utils.expressions import Expression
+
+        def comp(text):
+            return Expression(text) if text else None
+        return ProblemFns(ic=comp(args.ic), bc=comp(args.bc),
+                          source=comp(args.source),
+                          analytical=comp(args.analytical))
 
     t0 = time.time()
     out = {"mode": args.mode}
@@ -91,11 +115,14 @@ def main(argv=None):
         from .io import vtu as vtu_io
         from .models import semi, semi_assembled
         mesh = load_mesh()
+        fns = problem_fns()
         cfg = SemiConfig(
             n_split=args.n_split, multi_levels=args.levels,
             ntime=args.ntime, dt=args.dt or 1.25e-5, theta=args.theta,
             physics=Physics(k=args.k, u=tuple(args.u),
                             advection=any(args.u)),
+            fns=fns, manufactured=all(
+                v is None for v in (args.ic, args.bc, args.source)),
             dtype=dtype)
         if args.mode == 7:
             import dataclasses

@@ -83,9 +83,9 @@ def _cross_macro_tables(macro: MacroMesh, n: int):
     fn = splitting.CHILD_FACE_NODES
 
     # characteristic length for coordinate tolerance
-    h = np.sqrt(np.abs(
-        np.cross(macro.X[:, :, 1].T - macro.X[:, :, 0].T,
-                 macro.X[:, :, 2].T - macro.X[:, :, 0].T, axis=0))).mean()
+    e1 = macro.X[:, :, 1] - macro.X[:, :, 0]         # (U, 2)
+    e2 = macro.X[:, :, 2] - macro.X[:, :, 0]
+    h = np.sqrt(np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])).mean()
     tol = 1e-6 * h / m
 
     for u in range(U):

@@ -16,7 +16,8 @@ def test_child_lattice_covers_macro(n):
     # signed areas are +0.5 (this is why detwei needs no sign handling and
     # only nx flips by the updown factor, ShapFun.F90:1789-1806).
     v = verts.astype(float)
-    area = 0.5 * np.cross(v[:, 0] - v[:, 2], v[:, 1] - v[:, 2])
+    d1, d2 = v[:, 0] - v[:, 2], v[:, 1] - v[:, 2]
+    area = 0.5 * (d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])
     assert np.allclose(area, 0.5)
     # children tile the macro triangle exactly
     assert np.isclose(area.sum(), 0.5 * (2 ** n) ** 2)
