@@ -99,6 +99,13 @@ class SemiConfig:
     # than the einsum-per-term path; False falls back to the reference-shaped
     # implementation (useful for debugging)
     fast_operator: bool = True
+    # exact block-stencil operator (ops/stencil.py): the operator probed
+    # into fixed-degree (self + 3 faces) blocks at setup and applied as ~40
+    # coefficient-plane FMAs + one-hot matmuls — the fastest path on TPU.
+    # Disabled automatically above `stencil_max_children` children per
+    # macro element, where the probing/storage cost outgrows its benefit.
+    stencil_operator: bool = True
+    stencil_max_children: int = 64
     physics: Physics = dataclasses.field(default_factory=Physics)
     # manufactured solution: Dirichlet/source/analytical sin(x+y)
     # (splitting.F90:1401-1405, transport_tri_semi.F90:593)

@@ -585,22 +585,42 @@ class SemiSolver:
     def __init__(self, problem: SemiProblem):
         self.p = problem
         self.cfg = problem.cfg
+        cfg = self.cfg
         self._gather = structured_gather
-        if self.cfg.solver in (Solver.BLOCK_JACOBI, Solver.CHEBYSHEV):
-            self._block_inv = [
-                jnp.linalg.inv(diag_blocks_A(L, self.cfg.physics,
-                                             self.cfg.dt, self.cfg.theta))
+        dtype = jnp.dtype(cfg.dtype)
+
+        self._stencil = None
+        if (cfg.stencil_operator
+                and 4 ** cfg.n_split <= cfg.stencil_max_children):
+            from ..ops import fused as _fused
+            from ..ops import stencil as _stencil
+            self._fmod = _fused
+            self._stencil = [
+                _stencil.StencilOperator(
+                    _stencil.probe_stencil(L, cfg.physics, cfg.dt,
+                                           cfg.theta), dtype)
                 for L in problem.levels]
-        if self.cfg.solver == Solver.CHEBYSHEV:
-            self._lam_max = [self._estimate_lam_max(li)
-                             for li in range(len(problem.levels))]
+
+        if (self._stencil is None
+                and cfg.solver in (Solver.BLOCK_JACOBI, Solver.CHEBYSHEV)):
+            self._block_inv = [
+                jnp.linalg.inv(diag_blocks_A(L, cfg.physics,
+                                             cfg.dt, cfg.theta))
+                for L in problem.levels]
+        if cfg.solver == Solver.CHEBYSHEV:
+            if self._stencil is not None:
+                # numpy power iteration on the probed blocks — no compiles
+                self._lam_max = [op.lam_max_estimate()
+                                 for op in self._stencil]
+            else:
+                self._lam_max = [self._estimate_lam_max(li)
+                                 for li in range(len(problem.levels))]
         self._fused = None
-        if self.cfg.fast_operator:
+        if cfg.fast_operator and self._stencil is None:
             from ..ops import fused as _fused
             self._fmod = _fused
             self._fused = [
-                _fused.FusedOperator(L, self.cfg.physics, self.cfg.dt,
-                                     self.cfg.theta)
+                _fused.FusedOperator(L, cfg.physics, cfg.dt, cfg.theta)
                 for L in problem.levels]
             if hasattr(self, "_block_inv"):
                 self._binv_t = [jnp.transpose(B, (2, 3, 1, 0))
@@ -609,7 +629,10 @@ class SemiSolver:
         self._step = jax.jit(self._make_step())
 
     def _apply(self, li: int, T, with_bc: bool):
-        """Operator application choosing the fused fast path when on."""
+        """Operator application choosing the fastest available path."""
+        if self._stencil is not None:
+            f = self._fmod
+            return f.from_t(self._stencil[li].apply(f.to_t(T), with_bc))
         if self._fused is not None:
             f = self._fmod
             return f.from_t(self._fused[li].apply(f.to_t(T), with_bc))
@@ -633,6 +656,10 @@ class SemiSolver:
         N = U * C * 3
         if N > cfg.coarse_direct_max_dof:
             return None
+        if self._stencil is not None:
+            from ..ops import stencil as _stencil
+            A = _stencil.to_dense(self._stencil[-1]._data)
+            return jnp.asarray(np.linalg.inv(A), L["M"].dtype)
         eye = jnp.eye(N, dtype=L["M"].dtype).reshape(N, U, C, 3)
         cols = jax.vmap(
             lambda v: apply_A(L, cfg.physics, cfg.dt, cfg.theta, v,
@@ -717,6 +744,18 @@ class SemiSolver:
         L = self.p.levels[li]
         phys = cfg.physics
         dt, theta, omega = cfg.dt, cfg.theta, cfg.omega
+        if (self._stencil is not None
+                and cfg.solver in (Solver.CHEBYSHEV, Solver.BLOCK_JACOBI)):
+            f = self._fmod
+            op = self._stencil[li]
+            if cfg.solver == Solver.CHEBYSHEV:
+                xt = op.smooth_chebyshev(
+                    f.to_t(x), f.to_t(b), self._cheb_roots(li),
+                    max(1, sweeps // cfg.cheb_degree), with_bc)
+            else:
+                xt = op.smooth_jacobi(f.to_t(x), f.to_t(b), omega, sweeps,
+                                      with_bc)
+            return f.from_t(xt)
         if (self._fused is not None
                 and cfg.solver in (Solver.CHEBYSHEV, Solver.BLOCK_JACOBI)):
             f = self._fmod

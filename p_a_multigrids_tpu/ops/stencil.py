@@ -1,0 +1,363 @@
+"""Exact fixed-degree block-stencil operator — the TPU speed-of-light path.
+
+This is the ELL/BSR design of SURVEY.md section 7 realised for the
+semi-structured hierarchy: every child element couples to itself and at
+most 3 face neighbors through dense ``nloc x nloc`` blocks (the reference's
+preallocated CSR sparsity, /root/reference/matrices.F90:997-1411), so the
+whole theta-implicit DG operator ``A = M/dt + theta*L`` collapses to
+
+    out[u, c] = S[u, c] @ x[u, c] + sum_f F[u, c, f] @ x[neighbor(u, c, f)]
+                (+ affine Dirichlet-ghost vector when with_bc)
+
+The blocks are extracted *numerically* from the reference-shaped operator
+(models.semi.apply_A) by probing it with basis indicator fields under
+masked gathers — intra-macro couplings and cross-macro (boundary-strip)
+couplings separately — so the stencil is exact by construction for every
+physics configuration (advection, SIP diffusion, Neumann mirrors, the lot)
+and self-validating against the probed implementation
+(tests/test_stencil.py).  Probing runs on the CPU backend in float64:
+12*C+1 operator applications, no TPU compiles.
+
+Why this beats the term-by-term operator on TPU: one application is 36
+fused multiply-adds over (C, U) planes plus six one-hot matmuls (gathers
+become MXU work), about 40*C*U floats of traffic — bandwidth-bound instead
+of launch-bound.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..mesh import splitting
+
+
+def _cpu():
+    return jax.devices("cpu")[0]
+
+
+@dataclasses.dataclass
+class StencilData:
+    """Probed blocks + static index sets for one level (all numpy f64)."""
+    self_blocks: np.ndarray    # (U, C, 3, 3)
+    face_blocks: np.ndarray    # (U, C, 3, 3, 3) [f, i, j] j = neighbor dof
+    cross_blocks: np.ndarray   # (U, nb, 3, 3) coupling to halo source dofs
+    c_aff: np.ndarray          # (U, C, 3) Dirichlet-ghost affine vector
+    halo_src: np.ndarray       # (U, nb) flattened (u*C + c) source element
+    bnd_c: np.ndarray          # (nb,) strip child of each slot
+    bnd_f: np.ndarray          # (nb,) strip face of each slot
+    intra_onehot: np.ndarray   # (3, C, C): xg[f] = intra_onehot[f] @ x-plane
+    cross_onehot: np.ndarray   # (3, C, nb): + cross_onehot[f] @ strip
+
+
+def probe_stencil(L: dict, phys, dt: float, theta: float) -> StencilData:
+    """Extract the exact block stencil of apply_A by basis probing."""
+    from ..models import semi as msemi
+
+    U = int(L["M"].shape[0])
+    C = int(L["updown"].shape[0])
+    cn = splitting.child_neighbors(L["s"])                  # (C, 3)
+    intra_mask = cn >= 0
+    bnd_c, bnd_f = np.nonzero(~intra_mask)
+    nb = len(bnd_c)
+    neigh = np.asarray(L["neigh_elem"])                     # (U, C, 3)
+    cross_mask_np = (~intra_mask)[None] & (neigh >= 0)      # (U, C, 3)
+
+    # float64 CPU copies of the level tables (probing accuracy)
+    cpu = _cpu()
+    Lp = {}
+    for key, val in L.items():
+        if isinstance(val, (int, float)):
+            Lp[key] = val
+            continue
+        arr = np.asarray(val)
+        if arr.dtype.kind == "f":
+            arr = arr.astype(np.float64)
+        Lp[key] = jax.device_put(arr, cpu)
+    cross_mask = jax.device_put(cross_mask_np, cpu)
+
+    def gather_intra(Ld, X):
+        full = msemi.structured_gather(Ld, X)       # (U, C, 3, ...)
+        m = cross_mask.reshape(cross_mask.shape + (1,) * (full.ndim - 3))
+        return jnp.where(m, 0.0, full)
+
+    def gather_cross(f0):
+        def g(Ld, X):
+            full = msemi.structured_gather(Ld, X)
+            m = cross_mask[:, :, f0]
+            m = m.reshape(m.shape + (1,) * (full.ndim - 3))
+            take = jnp.zeros_like(full)
+            return take.at[:, :, f0].set(
+                jnp.where(m, full[:, :, f0], 0.0))
+        return g
+
+    def gather_zero(Ld, X):
+        return jnp.zeros_like(msemi.structured_gather(Ld, X))
+
+    probes = np.zeros((3 * C, U, C, 3))
+    for c0 in range(C):
+        for j in range(3):
+            probes[c0 * 3 + j, :, c0, j] = 1.0
+
+    with jax.default_device(cpu):
+        probes_d = jax.device_put(probes, cpu)
+
+        def apply_with(gather):
+            fn = lambda x: msemi.apply_A(Lp, phys, dt, theta, x, False,
+                                         gather)
+            return jax.jit(jax.vmap(fn))
+
+        resp_intra = np.asarray(apply_with(gather_intra)(probes_d))
+        resp_zero = np.asarray(apply_with(gather_zero)(probes_d))
+        resp_cross = [
+            np.asarray(apply_with(gather_cross(f))(probes_d)) - resp_zero
+            for f in range(3)]
+        zero = jax.device_put(np.zeros((U, C, 3)), cpu)
+        c_aff = np.asarray(jax.jit(
+            lambda x: msemi.apply_A(Lp, phys, dt, theta, x, True,
+                                    gather_intra))(zero))
+
+    # -- extraction --------------------------------------------------------
+    self_blocks = np.zeros((U, C, 3, 3))
+    face_blocks = np.zeros((U, C, 3, 3, 3))
+    for c0 in range(C):
+        for j in range(3):
+            r = resp_intra[c0 * 3 + j]                      # (U, C, 3)
+            self_blocks[:, c0, :, j] = r[:, c0]
+            for f in range(3):
+                for c in np.nonzero(cn[:, f] == c0)[0]:
+                    face_blocks[:, c, f, :, j] = r[:, c]
+
+    # cross: slot (c, f) sources element halo_src with child id src_c
+    halo_src = np.asarray(L["halo_src"])                    # (U, nb)
+    src_c = halo_src % C                                    # (U, nb)
+    cross_blocks = np.zeros((U, nb, 3, 3))
+    u_all = np.arange(U)
+    for slot in range(nb):
+        c, f = int(bnd_c[slot]), int(bnd_f[slot])
+        r = resp_cross[f][:, :, c, :]                       # (3C, U, 3)
+        for j in range(3):
+            p = src_c[:, slot] * 3 + j                      # (U,)
+            cross_blocks[:, slot, :, j] = r[p, u_all]
+    # domain-boundary slots carry no linear cross coupling by construction
+    # (cross_mask is False there).
+
+    intra_onehot = np.zeros((3, C, C))
+    cross_onehot = np.zeros((3, C, nb))
+    for c in range(C):
+        for f in range(3):
+            if intra_mask[c, f]:
+                intra_onehot[f, c, cn[c, f]] = 1.0
+    for slot, (c, f) in enumerate(zip(bnd_c, bnd_f)):
+        cross_onehot[f, c, slot] = 1.0
+
+    return StencilData(
+        self_blocks=self_blocks, face_blocks=face_blocks,
+        cross_blocks=cross_blocks, c_aff=c_aff, halo_src=halo_src,
+        bnd_c=bnd_c.astype(np.int32), bnd_f=bnd_f.astype(np.int32),
+        intra_onehot=intra_onehot, cross_onehot=cross_onehot)
+
+
+def to_dense(data: StencilData) -> np.ndarray:
+    """Assemble the full (U*C*3, U*C*3) matrix from the probed blocks —
+    host-side replacement for extracting the coarse operator by vmapped
+    identity application (and for the reference's gen_global_matrix,
+    /root/reference/matrices.F90:140-167)."""
+    U, C = data.self_blocks.shape[:2]
+    E = U * C
+    cn = None
+    A = np.zeros((E, 3, E, 3))
+    e_all = np.arange(E)
+    A[e_all, :, e_all, :] = data.self_blocks.reshape(E, 3, 3)
+    eids = e_all.reshape(U, C)
+    from ..mesh import splitting as _spl
+    n = int(round(np.log(C) / np.log(4))) if C > 1 else 0
+    cn = _spl.child_neighbors(n)
+    for c in range(C):
+        for f in range(3):
+            if cn[c, f] >= 0:
+                A[eids[:, c], :, eids[:, cn[c, f]], :] += \
+                    data.face_blocks[:, c, f]
+    for slot in range(len(data.bnd_c)):
+        rows = eids[:, data.bnd_c[slot]]
+        cols = data.halo_src[:, slot]
+        A[rows, :, cols, :] += data.cross_blocks[:, slot]
+    return A.reshape(E * 3, E * 3)
+
+
+def inv3x3(A: np.ndarray) -> np.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / det) — pure numpy, no
+    device compile (replaces jnp.linalg.inv of tiny blocks, which costs a
+    long LAPACK-kernel compile through the remote-compile tunnel)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co = np.empty_like(A)
+    co[..., 0, 0] = e * i - f * h
+    co[..., 0, 1] = c * h - b * i
+    co[..., 0, 2] = b * f - c * e
+    co[..., 1, 0] = f * g - d * i
+    co[..., 1, 1] = a * i - c * g
+    co[..., 1, 2] = c * d - a * f
+    co[..., 2, 0] = d * h - e * g
+    co[..., 2, 1] = b * g - a * h
+    co[..., 2, 2] = a * e - b * d
+    det = a * co[..., 0, 0] + b * co[..., 1, 0] + c * co[..., 2, 0]
+    return co / det[..., None, None]
+
+
+class StencilOperator:
+    """Device-side stencil application + fused relaxation sweeps.
+
+    Transposed layout throughout: state ``x_t`` is (3, C, U) with the wide
+    macro axis minor (perfect (8,128) vector tiles), coefficients are
+    (.., C, U) planes, and the three neighbor gathers are one-hot matmuls
+    on (C, U) planes — regular MXU work instead of scatter/gather.
+    """
+
+    def __init__(self, data: StencilData, dtype):
+        U, C = data.self_blocks.shape[:2]
+        self.U, self.C = U, C
+        nb = data.cross_blocks.shape[1]
+        self.nb = nb
+        self._data = data
+        t = lambda a: jnp.asarray(a, dtype)
+        self.S_t = t(data.self_blocks.transpose(2, 3, 1, 0))    # (3,3,C,U)
+        self.F_t = t(data.face_blocks.transpose(2, 3, 4, 1, 0))  # (3,3,3,C,U)
+        self.X_t = t(data.cross_blocks.transpose(2, 3, 1, 0))   # (3,3,nb,U)
+        self.c_aff_t = t(data.c_aff.transpose(2, 1, 0))          # (3, C, U)
+        self.intra_oh = t(data.intra_onehot)                     # (3, C, C)
+        # every strip slot has exactly one (child, face): sum over faces
+        # gives the total slot -> child scatter map
+        self.cross_oh = t(data.cross_onehot.sum(axis=0))         # (C, nb)
+        # strip gather: plane row index (c'*U + u') per slot
+        hs = np.asarray(data.halo_src)
+        self.strip_rows = jnp.asarray(
+            ((hs % C) * U + hs // C).astype(np.int32))           # (U, nb)
+
+        # premultiplied-smoother form: z = D^-1 (b - A x) with D = self
+        # block; folding D^-1 into the neighbor blocks turns the diagonal
+        # solve into the identity and removes D from the sweep entirely
+        Dinv = inv3x3(data.self_blocks)                          # (U,C,3,3)
+        Fp = np.einsum("ucik,ucfkj->ucfij", Dinv, data.face_blocks)
+        if nb:
+            Xp = np.einsum("usik,uskj->usij", Dinv[:, data.bnd_c],
+                           data.cross_blocks)
+        else:
+            Xp = data.cross_blocks
+        self.Fp_t = t(Fp.transpose(2, 3, 4, 1, 0))
+        self.Xp_t = t(Xp.transpose(2, 3, 1, 0))
+        self.Dinv_t = t(Dinv.transpose(2, 3, 1, 0))              # (3,3,C,U)
+        self._dinv_np = Dinv
+
+    # -- helpers -----------------------------------------------------------
+    def strip(self, x_t):
+        """(3j, nb, U) strip planes: source-element dof values per slot."""
+        plane = x_t.reshape(3, self.C * self.U)
+        rows = self.strip_rows.T.reshape(-1)                 # (nb*U,)
+        return plane[:, rows].reshape(3, self.nb, self.U)
+
+    # -- application ---------------------------------------------------------
+    def _apply_planes(self, x_t, F_t, X_t):
+        """Neighbor contribution sum_f F[f] x_nb(f) as three (C, U) planes.
+
+        Intra-macro faces: coefficient plane times a one-hot-matmul gather.
+        Cross-macro strip slots: per-slot blocks applied to the strip
+        values, scattered to their children by one one-hot matmul.
+        """
+        sv = self.strip(x_t) if self.nb else None
+        out = []
+        for i in range(3):
+            acc = None
+            for f in range(3):
+                for j in range(3):
+                    term = F_t[f, i, j] * (self.intra_oh[f] @ x_t[j])
+                    acc = term if acc is None else acc + term
+            if self.nb:
+                cs = X_t[i, 0] * sv[0]
+                for j in range(1, 3):
+                    cs = cs + X_t[i, j] * sv[j]              # (nb, U)
+                acc = acc + self.cross_oh @ cs
+            out.append(acc)
+        return out
+
+    def apply(self, x_t, with_bc: bool):
+        """A x (+ Dirichlet affine when with_bc) in transposed layout."""
+        nbr = self._apply_planes(x_t, self.F_t, self.X_t)
+        out = []
+        for i in range(3):
+            acc = self.S_t[i, 0] * x_t[0]
+            for j in range(1, 3):
+                acc = acc + self.S_t[i, j] * x_t[j]
+            acc = acc + nbr[i]
+            if with_bc:
+                acc = acc + self.c_aff_t[i]
+            out.append(acc)
+        return jnp.stack(out)
+
+    def solve_diag(self, r_t):
+        """D^-1 r in transposed layout."""
+        return jnp.stack([
+            self.Dinv_t[i, 0] * r_t[0] + self.Dinv_t[i, 1] * r_t[1]
+            + self.Dinv_t[i, 2] * r_t[2] for i in range(3)])
+
+    def _z(self, x_t, bp):
+        """z = D^-1 (b - A x) = bp - x - D^-1 (A - D) x."""
+        off = self._apply_planes(x_t, self.Fp_t, self.Xp_t)
+        return jnp.stack([bp[i] - x_t[i] - off[i] for i in range(3)])
+
+    def _bp(self, b_t, with_bc):
+        return self.solve_diag(b_t - self.c_aff_t if with_bc else b_t)
+
+    def smooth_chebyshev(self, x_t, b_t, roots, sweeps: int, with_bc: bool):
+        bp = self._bp(b_t, with_bc)
+
+        def body(x_t, _):
+            for r in roots:
+                x_t = x_t + self._z(x_t, bp) / jnp.asarray(r, x_t.dtype)
+            return x_t, None
+        x_t, _ = jax.lax.scan(body, x_t, None, length=sweeps)
+        return x_t
+
+    def smooth_jacobi(self, x_t, b_t, omega: float, sweeps: int,
+                      with_bc: bool):
+        bp = self._bp(b_t, with_bc)
+
+        def body(x_t, _):
+            return x_t + omega * self._z(x_t, bp), None
+        x_t, _ = jax.lax.scan(body, x_t, None, length=sweeps)
+        return x_t
+
+    # -- spectral bound (numpy, setup-time) ----------------------------------
+    def lam_max_estimate(self, iters: int = 30, seed: int = 0) -> float:
+        """Power iteration on D^-1 A in numpy — no device compiles."""
+        d = self._data
+        U, C, nb = self.U, self.C, self.nb
+        Sp = np.einsum("ucik,uckj->ucij", self._dinv_np, d.self_blocks)
+        Fp = np.einsum("ucik,ucfkj->ucfij", self._dinv_np, d.face_blocks)
+        Xp = (np.einsum("usik,uskj->usij", self._dinv_np[:, d.bnd_c],
+                        d.cross_blocks) if nb else d.cross_blocks)
+        rng = np.random.default_rng(seed)
+        v = rng.normal(size=(U, C, 3))
+
+        oh_all = d.cross_onehot.sum(axis=0)                  # (C, nb)
+
+        def apply_np(x):
+            out = np.einsum("ucij,ucj->uci", Sp, x)
+            for f in range(3):
+                xg = np.einsum("cd,udj->ucj", d.intra_onehot[f], x)
+                out += np.einsum("ucij,ucj->uci", Fp[:, :, f], xg)
+            if nb:
+                src = x.reshape(U * C, 3)[d.halo_src]        # (U, nb, 3)
+                cs = np.einsum("usij,usj->usi", Xp, src)     # (U, nb, 3)
+                out += np.einsum("cs,usi->uci", oh_all, cs)
+            return out
+
+        for _ in range(iters):
+            w = apply_np(v)
+            v = w / np.linalg.norm(w)
+        return 1.2 * float(np.linalg.norm(apply_np(v)))

@@ -71,7 +71,14 @@ class DistributedSemiSolver:
             rp = {k: L[k] for k in _R_KEYS}
             if self.cfg.solver in (Solver.BLOCK_JACOBI, Solver.CHEBYSHEV):
                 li = len(shard_levels)
-                sh["block_inv"] = self._serial._block_inv[li]
+                if getattr(self._serial, "_block_inv", None) is not None:
+                    sh["block_inv"] = self._serial._block_inv[li]
+                else:
+                    # stencil-operator solver: exact diagonal blocks were
+                    # probed at setup; reuse their closed-form inverses
+                    sh["block_inv"] = jnp.asarray(
+                        self._serial._stencil[li]._dinv_np,
+                        jnp.dtype(self.cfg.dtype))
             shard_levels.append(sh)
             repl_levels.append(rp)
             sspec_levels.append({k: P(_AXIS) for k in sh})
