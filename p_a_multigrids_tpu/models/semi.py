@@ -574,6 +574,39 @@ def prolong(e_coarse: jax.Array, n_coarse: int) -> jax.Array:
                       jnp.asarray(pweights, e_coarse.dtype), ec)
 
 
+def _transfer_tables_t(n_coarse: int):
+    """Transposed-layout transfer tables: parent one-hot (Cc, Cf) scatter
+    matrix + pweights.  The one-hot turns the 4-children-per-parent
+    reduction into a small matmul on (Cf, U) planes — no scatter-add."""
+    _, parent, pweights = _transfer_tables(n_coarse)
+    Cc, Cf = 4 ** n_coarse, 4 ** (n_coarse + 1)
+    parent_oh = np.zeros((Cc, Cf))
+    parent_oh[parent, np.arange(Cf)] = 1.0
+    return parent_oh, pweights
+
+
+def restrict_t(r_fine_t: jax.Array, n_coarse: int) -> jax.Array:
+    """restrict() in transposed layout: (3, Cf, U) -> (3, Cc, U).
+
+    Everything stays in the TPU-friendly layout (wide macro axis minor):
+    the nodal mixing is a 3x3 contraction per child plane and the
+    child->parent reduction is one (Cc, Cf) one-hot matmul.
+    """
+    parent_oh, pweights = _transfer_tables_t(n_coarse)
+    dt_ = r_fine_t.dtype
+    contrib = jnp.einsum("flk,lfu->kfu", jnp.asarray(pweights, dt_),
+                         r_fine_t)
+    return jnp.einsum("cf,kfu->kcu", jnp.asarray(parent_oh, dt_), contrib)
+
+
+def prolong_t(e_coarse_t: jax.Array, n_coarse: int) -> jax.Array:
+    """prolong() in transposed layout: (3, Cc, U) -> (3, Cf, U)."""
+    parent_oh, pweights = _transfer_tables_t(n_coarse)
+    dt_ = e_coarse_t.dtype
+    ec = jnp.einsum("cf,kcu->kfu", jnp.asarray(parent_oh, dt_), e_coarse_t)
+    return jnp.einsum("flk,kfu->lfu", jnp.asarray(pweights, dt_), ec)
+
+
 # ---------------------------------------------------------------------------
 # solver
 # ---------------------------------------------------------------------------
@@ -626,6 +659,20 @@ class SemiSolver:
                 self._binv_t = [jnp.transpose(B, (2, 3, 1, 0))
                                 for B in self._block_inv]
         self._coarse_inv = self._build_coarse_inverse()
+        self._coarse_inv_t = None
+        if self._coarse_inv is not None and self._stencil is not None:
+            # permute the dense inverse into transposed-layout flat order
+            # (i, c, u) so the in-cycle coarse solve needs no transposes
+            Lc = self.p.levels[-1]
+            Uc, Cc = Lc["M"].shape[0], Lc["updown"].shape[0]
+            u_, c_, i_ = np.meshgrid(np.arange(Uc), np.arange(Cc),
+                                     np.arange(3), indexing="ij")
+            # perm[old_flat] = new_flat position of that entry
+            old_to_new = (i_ * Cc * Uc + c_ * Uc + u_).reshape(-1)
+            perm = np.argsort(old_to_new)
+            Ainv = np.asarray(self._coarse_inv)
+            self._coarse_inv_t = jnp.asarray(Ainv[perm][:, perm],
+                                             Ainv.dtype)
         self._step = jax.jit(self._make_step())
 
     def _apply(self, li: int, T, with_bc: bool):
@@ -813,6 +860,68 @@ class SemiSolver:
     def residual(self, li: int, x, b, with_bc: bool):
         return b - self._apply(li, x, with_bc)
 
+    # -- transposed-layout V-cycle (the TPU fast path) ----------------------
+    # State (3, C, U) with the wide macro axis minor throughout: the
+    # standard (U, C, 3) layout has a 3-wide minor dimension that TPU tiling
+    # pads to 128 lanes (a 42x physical blow-up), so every std-layout
+    # traversal of the fine grid costs ~40x its logical traffic.  The whole
+    # cycle — smoothing, residual, transfers, coarse solve — runs transposed
+    # and only run()/IO convert.
+
+    @property
+    def _use_t_cycle(self) -> bool:
+        return (self._stencil is not None
+                and self.cfg.solver in (Solver.CHEBYSHEV,
+                                        Solver.BLOCK_JACOBI))
+
+    def _smooth_t(self, li: int, x_t, b_t, sweeps: int, with_bc: bool):
+        cfg = self.cfg
+        op = self._stencil[li]
+        if cfg.solver == Solver.CHEBYSHEV:
+            return op.smooth_chebyshev(x_t, b_t, self._cheb_roots(li),
+                                       max(1, sweeps // cfg.cheb_degree),
+                                       with_bc)
+        return op.smooth_jacobi(x_t, b_t, cfg.omega, sweeps, with_bc)
+
+    def _vcycle_t(self, li: int, x_t, b_t, hom: bool = False):
+        cfg = self.cfg
+        nl = len(self.p.levels)
+        with_bc = li == 0 and not hom
+        op = self._stencil[li]
+        if li == nl - 1:
+            if nl > 1 and self._coarse_inv_t is not None:
+                shape = x_t.shape
+                return (self._coarse_inv_t @ b_t.reshape(-1)).reshape(shape)
+            return self._smooth_t(
+                li, x_t, b_t,
+                cfg.coarse_sweeps if nl > 1 else cfg.n_smooth, with_bc)
+        x_t = self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
+        r_t = b_t - op.apply(x_t, with_bc)
+        bc_ = restrict_t(r_t, self.p.levels[li + 1]["s"])
+        e_t = self._vcycle_t(li + 1, jnp.zeros_like(bc_), bc_, hom)
+        x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
+        return self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
+
+    def _rhs_t(self, told_t):
+        """_rhs in transposed layout: b = M told/dt + theta M s + ..."""
+        cfg = self.cfg
+        L = self.p.levels[0]
+        M_t = jnp.transpose(L["M"], (1, 2, 0))           # (3, 3, U)
+        s_t = jnp.transpose(L["source"], (2, 1, 0))      # (3, C, U)
+
+        def mul_M(v_t):
+            return jnp.stack([
+                M_t[i, 0][None] * v_t[0] + M_t[i, 1][None] * v_t[1]
+                + M_t[i, 2][None] * v_t[2] for i in range(3)])
+
+        b_t = mul_M(told_t) / cfg.dt + mul_M(s_t)
+        if cfg.theta < 1.0:
+            from ..ops import fused as _f
+            spat = apply_spatial(L, cfg.physics, _f.from_t(told_t), True,
+                                 self._gather)
+            b_t = b_t - (1.0 - cfg.theta) * _f.to_t(spat)
+        return b_t
+
     # -- V-cycle -----------------------------------------------------------
     def _vcycle(self, li: int, x, b, hom: bool = False):
         """One V-cycle.  hom=True solves the homogeneous-BC (linear)
@@ -820,6 +929,9 @@ class SemiSolver:
         cfg = self.cfg
         nl = len(self.p.levels)
         with_bc = li == 0 and not hom
+        if self._use_t_cycle:
+            f = self._fmod
+            return f.from_t(self._vcycle_t(li, f.to_t(x), f.to_t(b), hom))
         if li == nl - 1:
             if nl > 1 and self._coarse_inv is not None:
                 shape = x.shape
@@ -868,7 +980,39 @@ class SemiSolver:
                          tol=cfg.krylov_tol, maxiter=cfg.krylov_maxiter)
         return x
 
+    def _solve_system_t(self, b_t, x0_t):
+        """solve_system in transposed layout (stencil path)."""
+        from ..ops import krylov
+
+        cfg = self.cfg
+        op = self._stencil[0]
+        A_lin = lambda x_t: op.apply(x_t, False)
+        c = op.apply(jnp.zeros_like(b_t), True)
+        b_lin = b_t - c
+        precond = lambda r: self._vcycle_t(0, jnp.zeros_like(r), r, hom=True)
+        method = (krylov.pcg if not cfg.physics.advection
+                  else krylov.bicgstab)
+        x_t, _, _ = method(A_lin, b_lin, x0_t, precond=precond,
+                           tol=cfg.krylov_tol, maxiter=cfg.krylov_maxiter)
+        return x_t
+
     def _make_step(self):
+        if self._use_t_cycle:
+            f = self._fmod
+
+            def step_t(T_t):
+                b_t = self._rhs_t(T_t)
+                if self.cfg.krylov:
+                    return self._solve_system_t(b_t, T_t)
+
+                def cycle(T_t, _):
+                    return self._vcycle_t(0, T_t, b_t), None
+                T_t, _ = jax.lax.scan(cycle, T_t, None,
+                                      length=self.cfg.n_multigrid)
+                return T_t
+            self._step_t = jax.jit(step_t)
+            return lambda T: f.from_t(step_t(f.to_t(T)))
+
         def step(T):
             told = T
             b = self._rhs(told)
@@ -899,7 +1043,16 @@ class SemiSolver:
     def run(self, T=None, ntime: int | None = None):
         if T is None:
             T = self.initial_condition()
-        for _ in range(ntime or self.cfg.ntime):
+        n = ntime or self.cfg.ntime
+        if self._use_t_cycle:
+            # keep the state transposed across steps: layout conversion
+            # happens exactly twice per run, not per step
+            f = self._fmod
+            T_t = f.to_t(jnp.asarray(T))
+            for _ in range(n):
+                T_t = self._step_t(T_t)
+            return f.from_t(T_t)
+        for _ in range(n):
             T = self._step(T)
         return T
 
