@@ -105,7 +105,13 @@ class SemiConfig:
     # Disabled automatically above `stencil_max_children` children per
     # macro element, where the probing/storage cost outgrows its benefit.
     stencil_operator: bool = True
-    stencil_max_children: int = 64
+    # build the stencil blocks by numerical basis probing of apply_A instead
+    # of the closed-form assembly (ops/stencil.build_stencil).  Probing is
+    # exact by construction but pays per-level XLA compiles (~seconds); it
+    # exists as the self-validating cross-check of the analytic builder
+    # (tests/test_stencil.py asserts they agree to machine precision).
+    stencil_probe: bool = False
+    stencil_max_children: int = 4096
     physics: Physics = dataclasses.field(default_factory=Physics)
     # manufactured solution: Dirichlet/source/analytical sin(x+y)
     # (splitting.F90:1401-1405, transport_tri_semi.F90:593)

@@ -62,7 +62,92 @@ class SemiGrid:
 
 
 def _cross_macro_tables(macro: MacroMesh, n: int):
-    """Match boundary-strip children across macro faces by coordinates."""
+    """Match boundary-strip children across macro faces by coordinates.
+
+    Fully vectorized: the only Python loops are over the 3x3 (my macro
+    face, neighbor macro face) cases; everything inside is batched over the
+    macro elements in each case.  (Round-1 shipped a per-(u, face, strip,
+    node) loop that cost minutes at U=8192; the loop version survives as
+    ``_cross_macro_tables_ref`` for the equivalence test.)
+    """
+    U = macro.num_elements
+    C = splitting.num_children(n)
+    m = 2 ** n
+    coords = splitting.child_coords(macro.X, n)        # (U, C, 2, 3)
+    strip_elems, strip_cface, _ = splitting.boundary_strips(n)
+
+    neigh = splitting.child_neighbors(n)               # (C, 3)
+    perm_in = splitting.child_neighbor_nodeperm(n)     # (C, 3, 2)
+
+    neigh_elem = np.zeros((U, C, 3), np.int64)
+    base = np.arange(U, dtype=np.int64)[:, None, None] * C
+    neigh_elem[:] = np.where(neigh[None] >= 0, base + neigh[None], -1)
+    neigh_perm = np.broadcast_to(
+        np.where(perm_in < 0, 0, perm_in)[None], (U, C, 3, 2)).copy()
+
+    bc_elem, bc_face, bc_coords = [], [], []
+    fn = splitting.CHILD_FACE_NODES
+
+    e1 = macro.X[:, :, 1] - macro.X[:, :, 0]           # (U, 2)
+    e2v = macro.X[:, :, 2] - macro.X[:, :, 0]
+    h = np.sqrt(np.abs(e1[:, 0] * e2v[:, 1] - e1[:, 1] * e2v[:, 0])).mean()
+    tol = 1e-6 * h / m
+
+    for mf in range(3):
+        cf = int(strip_cface[mf])
+        a, b = fn[cf]
+        mine = strip_elems[mf]                         # (m,)
+        my_pts = coords[:, mine][:, :, :, [a, b]]      # (U, m, dim, node)
+        my_mid = my_pts.mean(axis=3)                   # (U, m, 2)
+        v_all = macro.neig[:, mf]                      # (U,)
+
+        bu = np.nonzero(v_all < 0)[0]
+        if len(bu):
+            bc_elem.append((bu[:, None] * C + mine[None, :]).ravel())
+            bc_face.append(np.full(len(bu) * m, cf, np.int32))
+            # (node, dim) per face, strip-ordered within each macro
+            bc_coords.append(
+                my_pts[bu].transpose(0, 1, 3, 2).reshape(-1, 2, 2))
+
+        for mf2 in range(3):
+            sel = np.nonzero((v_all >= 0)
+                             & (macro.neigh_face[:, mf] == mf2))[0]
+            if not len(sel):
+                continue
+            vv = v_all[sel]                            # (G,)
+            cf2 = int(strip_cface[mf2])
+            theirs = strip_elems[mf2]                  # (m,)
+            a2, b2 = fn[cf2]
+            their_pts = coords[vv][:, theirs][:, :, :, [a2, b2]]
+            their_mid = their_pts.mean(axis=3)         # (G, m, 2)
+            d = np.linalg.norm(
+                my_mid[sel][:, :, None] - their_mid[:, None], axis=-1)
+            match = np.argmin(d, axis=2)               # (G, m)
+            assert (np.take_along_axis(d, match[:, :, None], axis=2)
+                    < tol).all(), f"cross-macro strip mismatch mf={mf}"
+            el2 = theirs[match]                        # (G, m)
+            neigh_elem[sel[:, None], mine[None, :], cf] = \
+                vv[:, None] * C + el2
+            nbc = coords[vv[:, None], el2]             # (G, m, 2, 3)
+            for kk, node in enumerate((a, b)):
+                p = coords[sel][:, mine][:, :, :, node]   # (G, m, 2)
+                dd = np.linalg.norm(nbc - p[..., None], axis=2)  # (G, m, 3)
+                j = np.argmin(dd, axis=2)
+                assert (np.take_along_axis(dd, j[:, :, None], axis=2)
+                        < tol).all()
+                neigh_perm[sel[:, None], mine[None, :], cf, kk] = j
+
+    cat = lambda lst, dt_: (np.concatenate(lst).astype(dt_) if lst
+                            else np.zeros((0,), dt_))
+    bc_coords_arr = (np.concatenate(bc_coords) if bc_coords
+                     else np.zeros((0, 2, 2)))
+    return (neigh_elem.astype(np.int32), neigh_perm.astype(np.int32),
+            cat(bc_elem, np.int32), cat(bc_face, np.int32),
+            bc_coords_arr.astype(np.float64))
+
+
+def _cross_macro_tables_ref(macro: MacroMesh, n: int):
+    """Loop reference implementation of _cross_macro_tables (tests only)."""
     U = macro.num_elements
     C = splitting.num_children(n)
     m = 2 ** n

@@ -240,30 +240,38 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
         if len(lvl.bc_elem):
             bc_dense[lvl.bc_elem, lvl.bc_face] = bc_vals
         bc_dense = bc_dense.reshape(U, C, 3, 2)
-        L = dict(
-            n=jnp.asarray(n_tab, dtype),
-            sn=jnp.asarray(sn_tab, dtype),
-            face_sn=jnp.asarray(ft["face_sn"], dtype),
-            M=jnp.asarray(M0 * scale_m, dtype),
-            ml=jnp.asarray(ml0 * scale_m, dtype),
-            D=jnp.asarray(D0, dtype),
-            K=jnp.asarray(K0 * scale_k, dtype),
-            nx1=jnp.asarray(nx0[:, 0], dtype),   # (U, 2, nloc) P1 gradients
+        # host-side numpy mirrors of every table, pre-cast to the run dtype:
+        # all setup-time consumers (analytic stencil build, halo planning,
+        # fused-operator construction) read these instead of fetching device
+        # arrays back (a device->host readback through the remote-TPU tunnel
+        # costs seconds per array) or paying dtype-conversion compiles.
+        raw = dict(
+            n=np.asarray(n_tab, dtype),
+            sn=np.asarray(sn_tab, dtype),
+            face_sn=np.asarray(ft["face_sn"], dtype),
+            M=np.asarray(M0 * scale_m, dtype),
+            ml=np.asarray(ml0 * scale_m, dtype),
+            D=np.asarray(D0, dtype),
+            K=np.asarray(K0 * scale_k, dtype),
+            nx1=np.asarray(nx0[:, 0], dtype),    # (U, 2, nloc) P1 gradients
 
-            sdet=jnp.asarray(sdet0 * scale_k, dtype),
-            snorm=jnp.asarray(snorm0, dtype),
-            updown=jnp.asarray(lvl.updown, dtype),
-            neigh_elem=jnp.asarray(lvl.neigh_elem),
-            neigh_perm=jnp.asarray(lvl.neigh_perm),
-            bc_elem=jnp.asarray(lvl.bc_elem),
-            bc_face=jnp.asarray(lvl.bc_face),
-            bc_vals=jnp.asarray(bc_vals, dtype),
-            bc_dense=jnp.asarray(bc_dense, dtype),
-            inv_dx=jnp.asarray(inv_dx, dtype),
-            neu_mask=jnp.asarray(neu_mask),
-            diff_on=jnp.asarray(diff_on, dtype),
-            C=C, s=s,
+            sdet=np.asarray(sdet0 * scale_k, dtype),
+            snorm=np.asarray(snorm0, dtype),
+            updown=np.asarray(lvl.updown, dtype),
+            neigh_elem=np.asarray(lvl.neigh_elem),
+            neigh_perm=np.asarray(lvl.neigh_perm),
+            bc_elem=np.asarray(lvl.bc_elem),
+            bc_face=np.asarray(lvl.bc_face),
+            bc_vals=np.asarray(bc_vals, dtype),
+            bc_dense=np.asarray(bc_dense, dtype),
+            inv_dx=np.asarray(inv_dx, dtype),
+            neu_mask=np.asarray(neu_mask),
+            diff_on=np.asarray(diff_on, dtype),
         )
+        # ONE batched transfer for the whole level: per-array device_put
+        # pays a full tunnel round-trip each (~0.2 s) on remote TPUs
+        L = dict(jax.device_put(raw))
+        L.update(C=C, s=s)
         # structured-gather tables: the intra-macro child adjacency is one
         # small static index set shared by every macro element, so the
         # neighbor gather decomposes into a tiny static gather plus a
@@ -278,12 +286,15 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
         self_flat = (np.arange(U)[:, None] * C + bnd_c[None, :])
         halo_src = np.asarray(lvl.neigh_elem)[:, bnd_c, bnd_f]
         halo_src = np.where(halo_src >= 0, halo_src, self_flat)
-        L.update(
-            intra_idx=jnp.asarray(intra_idx),
-            intra_mask=jnp.asarray(cn >= 0),
-            slot_of=jnp.asarray(slot_of),
-            halo_src=jnp.asarray(halo_src),
+        extra = dict(
+            intra_idx=np.asarray(intra_idx),
+            intra_mask=np.asarray(cn >= 0),
+            slot_of=np.asarray(slot_of),
+            halo_src=np.asarray(halo_src),
         )
+        raw.update(extra)
+        L.update(jax.device_put(extra))
+        L["_np"] = raw
         levels.append(L)
 
     coords_fine = splitting.child_coords(mesh.X, cfg.n_split)
@@ -295,7 +306,8 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
         ana_fn = ana_fn or manufactured_solution
     src = src_fn(xf, yf) if src_fn else np.zeros(xf.shape)
     ana = ana_fn(xf, yf) if ana_fn else np.zeros(xf.shape)
-    levels[0]["source"] = jnp.asarray(src, dtype)
+    levels[0]["_np"]["source"] = np.asarray(src, dtype)
+    levels[0]["source"] = jnp.asarray(levels[0]["_np"]["source"])
 
     return SemiProblem(grid=grid, cfg=cfg, levels=levels,
                        coords_fine=coords_fine,
@@ -628,10 +640,11 @@ class SemiSolver:
             from ..ops import fused as _fused
             from ..ops import stencil as _stencil
             self._fmod = _fused
+            build = (_stencil.probe_stencil if cfg.stencil_probe
+                     else _stencil.build_stencil)
             self._stencil = [
                 _stencil.StencilOperator(
-                    _stencil.probe_stencil(L, cfg.physics, cfg.dt,
-                                           cfg.theta), dtype)
+                    build(L, cfg.physics, cfg.dt, cfg.theta), dtype)
                 for L in problem.levels]
 
         if (self._stencil is None
@@ -670,7 +683,7 @@ class SemiSolver:
             # perm[old_flat] = new_flat position of that entry
             old_to_new = (i_ * Cc * Uc + c_ * Uc + u_).reshape(-1)
             perm = np.argsort(old_to_new)
-            Ainv = np.asarray(self._coarse_inv)
+            Ainv = self._coarse_inv_np     # host copy: no device readback
             self._coarse_inv_t = jnp.asarray(Ainv[perm][:, perm],
                                              Ainv.dtype)
         self._step = jax.jit(self._make_step())
@@ -695,6 +708,7 @@ class SemiSolver:
         then a single (N, N) x (N,) matmul — the TPU replacement for the
         reference's FINDInv-based direct solves."""
         cfg = self.cfg
+        self._coarse_inv_np = None
         if len(self.p.levels) == 1:
             return None
         L = self.p.levels[-1]
@@ -706,7 +720,8 @@ class SemiSolver:
         if self._stencil is not None:
             from ..ops import stencil as _stencil
             A = _stencil.to_dense(self._stencil[-1]._data)
-            return jnp.asarray(np.linalg.inv(A), L["M"].dtype)
+            self._coarse_inv_np = np.linalg.inv(A).astype(L["M"].dtype)
+            return jnp.asarray(self._coarse_inv_np)
         eye = jnp.eye(N, dtype=L["M"].dtype).reshape(N, U, C, 3)
         cols = jax.vmap(
             lambda v: apply_A(L, cfg.physics, cfg.dt, cfg.theta, v,

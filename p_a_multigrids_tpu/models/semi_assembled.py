@@ -91,7 +91,7 @@ def assemble_operator(L: dict, phys: Physics, dt: float,
     diag = semi.diag_blocks_A(L, phys, dt, theta)
     face = _face_blocks(L, phys, theta)
     U, C = diag.shape[:2]
-    neigh = np.asarray(L["neigh_elem"]).reshape(U * C, 3)
+    neigh = np.asarray(L.get("_np", L)["neigh_elem"]).reshape(U * C, 3)
     return bsr.build(diag.reshape(U * C, 3, 3),
                      face.reshape(U * C, 3, 3, 3), neigh)
 

@@ -48,15 +48,16 @@ class FusedOperator:
         s = L["s"]
         dtype = L["M"].dtype
         self.U, self.C, self.s = U, C, s
+        H = L.get("_np", L)        # host table mirrors (no device readback)
         np_ = np.asarray
-        ud = np_(L["updown"]).astype(np.float64)          # (C,)
+        ud = np_(H["updown"]).astype(np.float64)          # (C,)
 
         # volume blocks: vol_const = M/dt + theta*D (3,3,U); vol_K = theta*K
-        M = np_(L["M"]).transpose(1, 2, 0) / dt
-        vol = M + (theta * np_(L["D"]).transpose(1, 2, 0)
+        M = np_(H["M"]).transpose(1, 2, 0) / dt
+        vol = M + (theta * np_(H["D"]).transpose(1, 2, 0)
                    if phys.diffusion else 0.0)
         self.vol_const = jnp.asarray(vol, dtype)
-        self.vol_K = (jnp.asarray(theta * np_(L["K"]).transpose(1, 2, 0),
+        self.vol_K = (jnp.asarray(theta * np_(H["K"]).transpose(1, 2, 0),
                                   dtype) if phys.advection else None)
         self.ud_c = jnp.asarray(ud[None, :, None], dtype)  # (1, C, 1)
 
@@ -67,8 +68,8 @@ class FusedOperator:
         nface, sngi = 3, int(L["sn"].shape[0])
         self.sngi = sngi
         # static shape-function tables as plain floats
-        self.fsn = np_(L["face_sn"]).tolist()             # [f][g][i]
-        self.sn1 = np_(L["sn"]).tolist()                  # [g][k]
+        self.fsn = np_(H["face_sn"]).tolist()             # [f][g][i]
+        self.sn1 = np_(H["sn"]).tolist()                  # [g][k]
 
         cn = splitting.child_neighbors(s)                 # (C, 3)
         perm_in = splitting.child_neighbor_nodeperm(s)    # (C, 3, 2)
@@ -90,20 +91,20 @@ class FusedOperator:
         slot_of = np.zeros((nface, C), np.int64)
         slot_of[bnd_f, bnd_c] = np.arange(nbs)
         self.slot_of = jnp.asarray(slot_of)
-        neigh = np_(L["neigh_elem"])
+        neigh = np_(H["neigh_elem"])
         hsrc = neigh[:, bnd_c, bnd_f]                     # (U, nb)
         self_flat = np.arange(U)[:, None] * C + bnd_c[None, :]
         hsrc_safe = np.where(hsrc >= 0, hsrc, self_flat)
         self.halo_idx = jnp.asarray(
             ((hsrc_safe % C) * U + hsrc_safe // C).astype(np.int32))
         self.halo_perm = jnp.asarray(
-            np_(L["neigh_perm"])[:, bnd_c, bnd_f]
+            np_(H["neigh_perm"])[:, bnd_c, bnd_f]
             .transpose(2, 1, 0).astype(np.int32))         # (2, nb, U)
         self.interior_strip = jnp.asarray((hsrc >= 0).T[None])  # (1, nb, U)
-        bc = np_(L["bc_dense"])[:, bnd_c, bnd_f]          # (U, nb, 2)
+        bc = np_(H["bc_dense"])[:, bnd_c, bnd_f]          # (U, nb, 2)
         self.bc_strip = jnp.asarray(bc.transpose(2, 1, 0), dtype)
         self.neu_strip = jnp.asarray(
-            np_(L["neu_mask"])[:, bnd_c, bnd_f].T[None])  # (1, nb, U)
+            np_(H["neu_mask"])[:, bnd_c, bnd_f].T[None])  # (1, nb, U)
         # own-trace rows for Neumann mirror: my face node k of strip faces
         fn = splitting.CHILD_FACE_NODES
         self.own_rows = jnp.asarray(np.stack(
@@ -111,24 +112,24 @@ class FusedOperator:
         ).astype(np.int32))                               # (2, nb)
 
         self.sdet = jnp.asarray(
-            np_(L["sdet"]).transpose(1, 2, 0), dtype)     # (3f, sngi, U)
+            np_(H["sdet"]).transpose(1, 2, 0), dtype)     # (3f, sngi, U)
         self.snorm = jnp.asarray(
-            np_(L["snorm"]).transpose(1, 2, 3, 0), dtype)  # (3f, sngi, 2, U)
+            np_(H["snorm"]).transpose(1, 2, 3, 0), dtype)  # (3f, sngi, 2, U)
 
         if phys.diffusion:
             k = phys.k
             pen = (theta * phys.penalty_factor * k
-                   * np_(L["inv_dx"]) * np_(L["diff_on"]))
+                   * np_(H["inv_dx"]) * np_(H["diff_on"]))
             self.pen_coef = jnp.asarray(pen.transpose(2, 1, 0), dtype)
             # theta*k*diff_on (consistency) and theta*k*w'*diff_on (symmetry)
-            don = np_(L["diff_on"]).transpose(2, 1, 0)    # (3f, C, U)
+            don = np_(H["diff_on"]).transpose(2, 1, 0)    # (3f, C, U)
             self.cons_coef = jnp.asarray(theta * k * don, dtype)
             bnd_t = (neigh < 0).transpose(2, 1, 0)
             self.sym_coef = jnp.asarray(
                 theta * k * np.where(bnd_t, 1.0, 0.5) * don, dtype)
         if phys.sip_consistency and phys.diffusion:
             self.nx1 = jnp.asarray(
-                np_(L["nx1"]).transpose(1, 2, 0) * (2.0 ** s), dtype)
+                np_(H["nx1"]).transpose(1, 2, 0) * (2.0 ** s), dtype)
 
     # -- neighbor values ---------------------------------------------------
     def _neighbor_nodes(self, Tt, with_bc):

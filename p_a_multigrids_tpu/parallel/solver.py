@@ -52,7 +52,8 @@ class DistributedSemiSolver:
         self._serial = semi.SemiSolver(self.p)
 
         self.plans = [
-            halo.build_halo_plan(np.asarray(L["neigh_elem"]), D)
+            halo.build_halo_plan(np.asarray(L.get("_np", L)["neigh_elem"]),
+                                 D)
             for L in self.p.levels]
         self._shard_args, self._repl_args, self._specs = self._pack()
         self._step = self._build_step()

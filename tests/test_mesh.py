@@ -70,3 +70,22 @@ def test_rect_mesh():
     assert np.isclose(x_all[4, 1, 0], 2.0)
     assert face_ele[0, 0] == -1 and face_ele[0, 1] == 1
     assert face_ele[4, 0] == 1 and face_ele[4, 2] == -1
+
+
+def test_cross_macro_tables_vectorized_matches_ref(ref_meshdir):
+    """Vectorized strip matching == the loop reference implementation."""
+    from p_a_multigrids_tpu.mesh import semi as msemi_mesh
+
+    for name, n in (("test_sn2.msh", 2), ("untitled8.msh", 1),
+                    ("irregular.msh", 3)):
+        mesh = topology.from_msh(f"{ref_meshdir}/{name}")
+        fast = msemi_mesh._cross_macro_tables(mesh, n)
+        ref = msemi_mesh._cross_macro_tables_ref(mesh, n)
+        np.testing.assert_array_equal(fast[0], ref[0])  # neigh_elem
+        np.testing.assert_array_equal(fast[1], ref[1])  # neigh_perm
+        # bc lists may differ in ordering only: sort by (elem, face)
+        def sort3(t):
+            order = np.lexsort((t[3], t[2]))
+            return t[2][order], t[3][order], t[4][order]
+        for got, want in zip(sort3(fast), sort3(ref)):
+            np.testing.assert_array_equal(got, want)

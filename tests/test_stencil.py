@@ -26,21 +26,23 @@ def _physics(name):
     raise KeyError(name)
 
 
+@pytest.mark.parametrize("builder", ["probe", "analytic"])
 @pytest.mark.parametrize("phys_name", ["diffusion", "advect_diffuse",
                                        "no_surface", "penalty_only"])
 @pytest.mark.parametrize("n_split", [1, 2])
-def test_stencil_matches_apply_A(phys_name, n_split):
+def test_stencil_matches_apply_A(phys_name, n_split, builder):
     mesh = topology.from_msh(MESH)
     cfg = SemiConfig(n_split=n_split, multi_levels=1, dt=0.05,
                      physics=_physics(phys_name), dtype="float64")
-    fns = None
-    if phys_name == "diffusion":
+    if phys_name in ("diffusion", "advect_diffuse"):
         # exercise the Neumann-mirror self coupling too
         cfg.fns.neumann = lambda x, y: x < 0.2
     problem = msemi.build_problem(mesh, cfg)
     L = problem.levels[0]
 
-    data = mstencil.probe_stencil(L, cfg.physics, cfg.dt, cfg.theta)
+    build = (mstencil.probe_stencil if builder == "probe"
+             else mstencil.build_stencil)
+    data = build(L, cfg.physics, cfg.dt, cfg.theta)
     op = mstencil.StencilOperator(data, jnp.float64)
 
     rng = np.random.default_rng(3)
@@ -57,6 +59,29 @@ def test_stencil_matches_apply_A(phys_name, n_split):
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(got_bc), np.asarray(ref_bc),
                                rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("phys_name", ["diffusion", "advect_diffuse",
+                                       "no_surface", "penalty_only"])
+def test_analytic_blocks_equal_probed_blocks(phys_name):
+    """build_stencil (closed form) == probe_stencil (numerical) blockwise."""
+    mesh = topology.from_msh(MESH)
+    cfg = SemiConfig(n_split=2, multi_levels=1, dt=0.05,
+                     physics=_physics(phys_name), dtype="float64")
+    if phys_name == "advect_diffuse":
+        cfg.fns.neumann = lambda x, y: y > 0.8
+    problem = msemi.build_problem(mesh, cfg)
+    L = problem.levels[0]
+    probed = mstencil.probe_stencil(L, cfg.physics, cfg.dt, cfg.theta)
+    exact = mstencil.build_stencil(L, cfg.physics, cfg.dt, cfg.theta)
+    for field in ("self_blocks", "face_blocks", "cross_blocks", "c_aff"):
+        np.testing.assert_allclose(
+            getattr(exact, field), getattr(probed, field),
+            rtol=1e-11, atol=1e-12, err_msg=field)
+    for field in ("halo_src", "bnd_c", "bnd_f", "intra_onehot",
+                  "cross_onehot"):
+        np.testing.assert_array_equal(getattr(exact, field),
+                                      getattr(probed, field))
 
 
 def test_premultiplied_sweep_matches_block_jacobi():
