@@ -445,22 +445,72 @@ class StencilOperator:
             # every strip slot has exactly one (child, face): sum over faces
             # gives the total slot -> child scatter map
             cross_oh=t(data.cross_onehot.sum(axis=0)),           # (C, nb)
-            # strip gather: plane row index (c'*U + u') per slot
-            strip_rows=((hs % C) * U + hs // C).astype(np.int32),  # (U, nb)
             Fp_t=t(Fp.transpose(2, 3, 4, 1, 0)),
             Xp_t=t(Xp.transpose(2, 3, 1, 0)),
             Dinv_t=t(Dinv.transpose(2, 3, 1, 0)),                # (3,3,C,U)
         )
+        host.update(self._strip_tables(data, hs, dtype))
         for key, val in jax.device_put(host).items():
             setattr(self, key, val)
         self._dinv_np = Dinv
 
+    def _strip_tables(self, data: StencilData, hs: np.ndarray, dtype):
+        """Static tables turning the cross-macro strip exchange into a
+        macro-axis ROW gather (+ a tiny static one-hot contraction).
+
+        Round 1 gathered nb*U scattered scalars from the (C*U) plane — XLA
+        lowers that to an element-wise gather that dominated the V-cycle
+        (scripts/exp_strip.py).  But the strip sources have structure: every
+        slot of a macro face sources the SAME neighbor macro, and the source
+        child is one of the few strip children.  So: pack the strip-children
+        rows once, gather whole rows by neighbor-macro index (contiguous,
+        embedding-lookup shaped), and select the per-slot child with a
+        static one-hot contraction.
+        """
+        U, C, nb = self.U, self.C, self.nb
+        src_c, src_u = hs % C, hs // C                       # (U, nb)
+        uniq_c = np.unique(data.bnd_c)                       # strip children
+        nbc = len(uniq_c)
+        qpos = np.zeros(C, np.int64)
+        qpos[uniq_c] = np.arange(nbc)
+        mf_of = splitting.CHILD2MACRO_FACE[data.bnd_f]       # (nb,)
+        group_slots = [np.nonzero(mf_of == mf)[0] for mf in range(3)]
+        m = nb // 3
+        assert all(len(g) == m for g in group_slots)
+        face_src = np.zeros((3, U), np.int32)
+        sel = np.zeros((3, U, m, nbc))
+        for mf, g in enumerate(group_slots):
+            # all slots of one macro face source the same neighbor macro
+            assert (src_u[:, g] == src_u[:, g[:1]]).all()
+            face_src[mf] = src_u[:, g[0]]
+            u_idx = np.arange(U)[:, None]
+            sel[mf][u_idx, np.arange(m)[None, :], qpos[src_c[:, g]]] = 1.0
+        # canonical slot order: slot -> (group, position) inverse permutation
+        order = np.concatenate(group_slots)
+        inv_perm = np.argsort(order).astype(np.int32)
+        self._nbc, self._m = nbc, m
+        return dict(
+            strip_pack_rows=uniq_c.astype(np.int32),         # (nbc,)
+            strip_face_src=face_src,                         # (3, U)
+            strip_sel=np.asarray(sel, dtype),                # (3, U, m, nbc)
+            strip_inv_perm=inv_perm,                         # (nb,)
+        )
+
     # -- helpers -----------------------------------------------------------
     def strip(self, x_t):
-        """(3j, nb, U) strip planes: source-element dof values per slot."""
-        plane = x_t.reshape(3, self.C * self.U)
-        rows = self.strip_rows.T.reshape(-1)                 # (nb*U,)
-        return plane[:, rows].reshape(3, self.nb, self.U)
+        """(3j, nb, U) strip planes: source-element dof values per slot.
+
+        One static row-pack, one (3U, 3*nbc)-row gather over the macro axis,
+        one static one-hot contraction — no element-wise gathers.
+        """
+        nbc, m = self._nbc, self._m
+        sp = x_t[:, self.strip_pack_rows, :]                 # (3, nbc, U)
+        rows = sp.reshape(3 * nbc, self.U).T                 # (U, 3*nbc)
+        g = rows[self.strip_face_src]                        # (3, U, 3*nbc)
+        g = g.reshape(3, self.U, 3, nbc)                     # (mf, u, j, q)
+        sv = jnp.einsum("mujq,mukq->jmku", g, self.strip_sel)
+        sv = sv.reshape(3, 3 * m, self.U)                    # grouped slots
+        return sv[:, self.strip_inv_perm, :]                 # canonical order
 
     # -- application ---------------------------------------------------------
     def _apply_planes(self, x_t, F_t, X_t):
@@ -471,12 +521,13 @@ class StencilOperator:
         values, scattered to their children by one one-hot matmul.
         """
         sv = self.strip(x_t) if self.nb else None
+        xg = jnp.einsum("fcd,jdu->fjcu", self.intra_oh, x_t)
         out = []
         for i in range(3):
             acc = None
             for f in range(3):
                 for j in range(3):
-                    term = F_t[f, i, j] * (self.intra_oh[f] @ x_t[j])
+                    term = F_t[f, i, j] * xg[f, j]
                     acc = term if acc is None else acc + term
             if self.nb:
                 cs = X_t[i, 0] * sv[0]
