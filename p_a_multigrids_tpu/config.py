@@ -112,6 +112,11 @@ class SemiConfig:
     # (tests/test_stencil.py asserts they agree to machine precision).
     stencil_probe: bool = False
     stencil_max_children: int = 4096
+    # fused Pallas relaxation-phase kernels (ops/pallas_stencil.py): one
+    # kernel per smoothing phase with the state VMEM-resident and the strip
+    # exchange done in-kernel over an RCM band.  None = auto (TPU only);
+    # True forces (interpret mode on CPU); False disables.
+    pallas_phase: bool | None = None
     physics: Physics = dataclasses.field(default_factory=Physics)
     # manufactured solution: Dirichlet/source/analytical sin(x+y)
     # (splitting.F90:1401-1405, transport_tri_semi.F90:593)

@@ -118,3 +118,60 @@ def from_msh(path: str) -> MacroMesh:
     from . import gmsh
     raw = gmsh.read_msh(path)
     return build_macro_mesh(raw.vertices, raw.triangles, raw.region_id)
+
+
+def reorder_elements(mesh: MacroMesh, perm: np.ndarray) -> MacroMesh:
+    """Relabel macro elements so new element i is old element perm[i]."""
+    perm = np.asarray(perm)
+    inv = np.empty(mesh.num_elements, np.int32)
+    inv[perm] = np.arange(mesh.num_elements, dtype=np.int32)
+    neig = mesh.neig[perm]
+    neig = np.where(neig >= 0, inv[np.maximum(neig, 0)], -1).astype(np.int32)
+    return MacroMesh(X=mesh.X[perm], tri=mesh.tri[perm], neig=neig,
+                     neigh_face=mesh.neigh_face[perm],
+                     dir_flag=mesh.dir_flag[perm],
+                     region_id=mesh.region_id[perm])
+
+
+def rcm_order(mesh: MacroMesh) -> np.ndarray:
+    """Reverse-Cuthill-McKee ordering of the macro adjacency graph.
+
+    Bounds the index distance |u - neig(u)| (measured: 3754 -> 63 on
+    untitled8192), which the fused Pallas relaxation kernel exploits to keep
+    its in-kernel strip exchange inside a narrow VMEM band
+    (ops.pallas_stencil).  Falls back to BFS if scipy is unavailable.
+    """
+    U = mesh.num_elements
+    try:
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        rows = np.repeat(np.arange(U), 3)
+        cols = mesh.neig.ravel()
+        keep = cols >= 0
+        A = csr_matrix((np.ones(keep.sum()), (rows[keep], cols[keep])),
+                       shape=(U, U))
+        return np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True),
+                          np.int32)
+    except ImportError:  # pragma: no cover
+        from collections import deque
+        seen = np.zeros(U, bool)
+        order = []
+        for s in range(U):
+            if seen[s]:
+                continue
+            dq = deque([s])
+            seen[s] = True
+            while dq:
+                u = dq.popleft()
+                order.append(u)
+                for f in range(3):
+                    v = mesh.neig[u, f]
+                    if v >= 0 and not seen[v]:
+                        seen[v] = True
+                        dq.append(v)
+        return np.asarray(order, np.int32)
+
+
+def rcm_reorder(mesh: MacroMesh) -> MacroMesh:
+    """Convenience: reorder a mesh by RCM (see rcm_order)."""
+    return reorder_elements(mesh, rcm_order(mesh))

@@ -647,6 +647,28 @@ class SemiSolver:
                     build(L, cfg.physics, cfg.dt, cfg.theta), dtype)
                 for L in problem.levels]
 
+        # fused Pallas relaxation-phase kernels (ops/pallas_stencil): one
+        # kernel launch per smoothing phase instead of ~6 XLA fusions per
+        # root — launch overhead, not arithmetic, dominates the V-cycle on
+        # this hardware.  Auto-enabled on TPU; interpret mode for tests.
+        self._phase = None
+        use_pallas = cfg.pallas_phase
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() not in ("cpu",)
+                          and self._stencil is not None)
+        if use_pallas and self._stencil is not None and cfg.solver in (
+                Solver.BLOCK_JACOBI, Solver.CHEBYSHEV):
+            from ..ops import pallas_stencil as _ps
+            interp = jax.default_backend() == "cpu"
+            try:
+                self._phase = [_ps.PhaseOperator(op, interpret=interp)
+                               for op in self._stencil]
+            except ValueError as e:
+                # U not tileable / strip band too wide (mesh not RCM-
+                # ordered): fall back to the XLA stencil path
+                print(f"pallas_phase disabled: {e}")
+                self._phase = None
+
         if (self._stencil is None
                 and cfg.solver in (Solver.BLOCK_JACOBI, Solver.CHEBYSHEV)):
             self._block_inv = [
@@ -898,11 +920,37 @@ class SemiSolver:
                                        with_bc)
         return op.smooth_jacobi(x_t, b_t, cfg.omega, sweeps, with_bc)
 
+    def _phase_coefs(self, li: int, sweeps: int):
+        """Per-round step sizes of one relaxation phase (pallas path)."""
+        cfg = self.cfg
+        if cfg.solver == Solver.CHEBYSHEV:
+            roots = self._cheb_roots(li)
+            reps = max(1, sweeps // cfg.cheb_degree)
+            return [1.0 / r for r in roots] * reps
+        return [cfg.omega] * sweeps
+
     def _vcycle_t(self, li: int, x_t, b_t, hom: bool = False):
         cfg = self.cfg
         nl = len(self.p.levels)
         with_bc = li == 0 and not hom
         op = self._stencil[li]
+        if self._phase is not None:
+            ph = self._phase[li]
+            bp = op._bp(b_t, with_bc)
+            if li == nl - 1:
+                if nl > 1 and self._coarse_inv_t is not None:
+                    shape = x_t.shape
+                    return (self._coarse_inv_t
+                            @ b_t.reshape(-1)).reshape(shape)
+                sweeps = cfg.coarse_sweeps if nl > 1 else cfg.n_smooth
+                return ph.phase(x_t, bp, self._phase_coefs(li, sweeps))[0]
+            coefs = self._phase_coefs(li, cfg.n_smooth)
+            x_t, z_t = ph.phase(x_t, bp, coefs)
+            r_t = ph.mul_self(z_t)                 # r = D z = b - A x
+            bc_ = restrict_t(r_t, self.p.levels[li + 1]["s"])
+            e_t = self._vcycle_t(li + 1, jnp.zeros_like(bc_), bc_, hom)
+            x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
+            return ph.phase(x_t, bp, coefs)[0]
         if li == nl - 1:
             if nl > 1 and self._coarse_inv_t is not None:
                 shape = x_t.shape

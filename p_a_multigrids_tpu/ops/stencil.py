@@ -123,7 +123,10 @@ def build_stencil(L: dict, phys, dt: float, theta: float) -> StencilData:
     U, C, cn, bnd_c, bnd_f, halo_src, intra_oh, cross_oh = _static_tables(L)
     nb = len(bnd_c)
     H = L.get("_np", L)        # host table mirrors (no device readback)
-    f64 = lambda key: np.asarray(H[key]).astype(np.float64)
+    # assemble in the level's own precision: f32 tables produce f32 blocks
+    # (the operator is then exactly these blocks); f64 verification configs
+    # keep everything f64 for the probe-equality test
+    f64 = lambda key: np.asarray(H[key])
     ein = functools.partial(np.einsum, optimize=True)
     M, D, K = f64("M"), f64("D"), f64("K")
     face_sn, sn, sdet = f64("face_sn"), f64("sn"), f64("sdet")
@@ -136,7 +139,7 @@ def build_stencil(L: dict, phys, dt: float, theta: float) -> StencilData:
     fn = splitting.CHILD_FACE_NODES
     k = float(phys.k)
     eta = float(phys.penalty_factor)
-    u_vec = np.asarray(phys.u, np.float64)
+    u_vec = np.asarray(phys.u, M.dtype)
 
     # geometry in child convention (matches apply_spatial)
     ud_b = ud[None, :, None, None]
@@ -453,6 +456,14 @@ class StencilOperator:
         for key, val in jax.device_put(host).items():
             setattr(self, key, val)
         self._dinv_np = Dinv
+        # static intra-neighbor rows for the large-C gather path (the
+        # (C, C) one-hot matmul costs O(C^2) FLOPs and constant-folding
+        # pain at C >= 256; a static row gather is O(C))
+        cn = splitting.child_neighbors(
+            int(round(np.log(C) / np.log(4))) if C > 1 else 0)
+        self._intra_rows = np.where(cn >= 0, cn,
+                                    np.arange(C)[:, None]).T.astype(
+                                        np.int32)            # (3f, C)
 
     def _strip_tables(self, data: StencilData, hs: np.ndarray, dtype):
         """Static tables turning the cross-macro strip exchange into a
@@ -521,13 +532,19 @@ class StencilOperator:
         values, scattered to their children by one one-hot matmul.
         """
         sv = self.strip(x_t) if self.nb else None
-        xg = jnp.einsum("fcd,jdu->fjcu", self.intra_oh, x_t)
+        if self.C > 64:
+            # static row gather (j, f, C, U); neighbor blocks are zero at
+            # boundary faces so the self-row placeholder never contributes
+            xg = x_t[:, self._intra_rows.reshape(-1), :].reshape(
+                3, 3, self.C, self.U)
+        else:
+            xg = jnp.einsum("fcd,jdu->jfcu", self.intra_oh, x_t)
         out = []
         for i in range(3):
             acc = None
             for f in range(3):
                 for j in range(3):
-                    term = F_t[f, i, j] * xg[f, j]
+                    term = F_t[f, i, j] * xg[j, f]
                     acc = term if acc is None else acc + term
             if self.nb:
                 cs = X_t[i, 0] * sv[0]
@@ -585,7 +602,7 @@ class StencilOperator:
         return x_t
 
     # -- spectral bound (numpy, setup-time) ----------------------------------
-    def lam_max_estimate(self, iters: int = 30, seed: int = 0) -> float:
+    def lam_max_estimate(self, iters: int = 12, seed: int = 0) -> float:
         """Power iteration on D^-1 A in numpy — no device compiles."""
         d = self._data
         U, C, nb = self.U, self.C, self.nb
@@ -597,12 +614,15 @@ class StencilOperator:
         v = rng.normal(size=(U, C, 3))
 
         oh_all = d.cross_onehot.sum(axis=0)                  # (C, nb)
+        cn = splitting.child_neighbors(
+            int(round(np.log(C) / np.log(4))) if C > 1 else 0)
+        cn_safe = np.where(cn >= 0, cn, np.arange(C)[:, None])  # (C, 3)
 
         def apply_np(x):
             out = np.einsum("ucij,ucj->uci", Sp, x, optimize=True)
             for f in range(3):
-                xg = np.einsum("cd,udj->ucj", d.intra_onehot[f], x,
-                               optimize=True)
+                xg = x[:, cn_safe[:, f], :]        # direct gather, not 1-hot
+                xg = np.where((cn[:, f] >= 0)[None, :, None], xg, 0.0)
                 out += np.einsum("ucij,ucj->uci", Fp[:, :, f], xg,
                                  optimize=True)
             if nb:
