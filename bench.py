@@ -106,6 +106,10 @@ def main():
     apps = 13 + 13 / 4
     op_nnz_s = nnz * apps / per_vcycle
 
+    # achieved bandwidth vs this chip's ~880 GB/s (utils/profiling roofline)
+    from p_a_multigrids_tpu.utils import profiling
+    roof = profiling.operator_roofline(U, C, 3, per_vcycle / apps)
+
     # direct BSR SpMV benchmark (the nnz/s metric kernel, ops/bsr.spmv)
     from p_a_multigrids_tpu.models import semi_assembled
     A = semi_assembled.assemble_operator(
@@ -118,11 +122,13 @@ def main():
     spmv_gnnz = nnz / spmv_s / 1e9
 
     # manufactured-solution L1 gate on the bench mesh (sin(x+y), k=1):
-    # steady diffusion solved to convergence (40 cycles at rho~0.75)
+    # steady diffusion solved to convergence by V-cycle-preconditioned PCG
+    # (the production implicit path; bare V-cycles contract at rho~0.9 here
+    # because the hierarchy cannot coarsen past one child per macro element)
     from p_a_multigrids_tpu.config import SemiConfig
     from p_a_multigrids_tpu.models import semi as msemi
-    gate_cfg = SemiConfig(n_split=2, multi_levels=2, dt=1e8, ntime=1,
-                          n_multigrid=40, dtype="float32")
+    gate_cfg = SemiConfig(n_split=2, multi_levels=3, dt=1e8, ntime=1,
+                          krylov=True, krylov_tol=1e-9, dtype="float32")
     gate_solver = msemi.SemiSolver(msemi.build_problem(mesh, gate_cfg))
     Tg = gate_solver.run()
     l1 = float(np.asarray(gate_solver.error(Tg)).mean())
@@ -160,6 +166,7 @@ def main():
             "l1_err": l1,
             "l1_gate_passed": bool(l1 < 0.01),
             "op_gnnz_s": round(op_nnz_s / 1e9, 2),
+            "op_achieved_gbps": round(roof.achieved_gbps, 1),
             "spmv_gnnz_s": round(spmv_gnnz, 2),
             "pallas_phase": solver._phase is not None,
             "level_sweep_900ele_nsplit4": sweep,

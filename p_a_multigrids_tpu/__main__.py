@@ -36,6 +36,15 @@ def main(argv=None):
     ap.add_argument("--u", type=float, nargs=2, default=(0.0, 0.0))
     ap.add_argument("--vtu", type=str, default=None,
                     help="write the final Tracer field to this .vtu")
+    ap.add_argument("--vtk-interval", type=int, default=0, metavar="N",
+                    help="semi modes: write Tracer/error/analytical VTUs "
+                         "every N steps (reference vtk_interval, "
+                         "transport_tri_semi.F90:301-312); files are "
+                         "<--vtu base>_NNNN.vtu")
+    ap.add_argument("--checkpoint", type=str, default=None, metavar="NPZ",
+                    help="semi modes: checkpoint the run to this .npz and "
+                         "RESUME from it when it already exists")
+    ap.add_argument("--checkpoint-every", type=int, default=10)
     ap.add_argument("--ic", type=str, default=None, metavar="EXPR",
                     help="initial condition as an expression of x, y "
                          "(e.g. 'sin(pi*x)*sin(pi*y)')")
@@ -129,6 +138,8 @@ def main(argv=None):
             cfg = dataclasses.replace(
                 cfg, theta=0.0, multi_levels=1, n_multigrid=1, n_smooth=1,
                 omega=1.0, solver=Solver.BLOCK_JACOBI)
+        coords = vtu_io.semi_coords(mesh.X, args.n_split)
+
         if args.mode == 8:
             solver, T = semi_assembled.direct_solve(mesh, cfg)
         else:
@@ -136,13 +147,52 @@ def main(argv=None):
             cls = (semi_assembled.AssembledSemiSolver if args.mode == 10
                    else semi.SemiSolver)
             solver = cls(problem)
-            T = solver.run()
+
+            def write_series(T_now, step):
+                """Tracer + error + analytical point fields, the
+                get_vtk_files.F90:44-84 set, every vtk_interval steps."""
+                base = (args.vtu or "out.vtu")[: -4]
+                fields = {
+                    "Tracer": np.asarray(T_now).reshape(-1, 3),
+                    "error": np.asarray(
+                        solver.error(T_now)).reshape(-1, 3),
+                    "analytical": np.asarray(
+                        solver.p.analytical).reshape(-1, 3),
+                }
+                vtu_io.write_vtu(f"{base}_{step:04d}.vtu", coords, fields,
+                                 cell_type=5)
+                out.setdefault("vtu_series", []).append(
+                    f"{base}_{step:04d}.vtu")
+
+            import os
+
+            import jax.numpy as jnp
+
+            from .io import checkpoint as ckpt
+            T = solver.initial_condition()
+            start = 0
+            if args.checkpoint and os.path.exists(args.checkpoint):
+                T_np, start, _, _ = ckpt.load(args.checkpoint)
+                T = jnp.asarray(T_np)
+                out["resumed_from_step"] = start
+            hist = []
+            for step in range(start, cfg.ntime):
+                if args.vtk_interval and step % args.vtk_interval == 0:
+                    write_series(T, step)
+                T = solver._step(T)
+                hist.append(float(solver.convergence(T)))
+                if args.checkpoint and (
+                        (step + 1) % args.checkpoint_every == 0
+                        or step + 1 == cfg.ntime):
+                    ckpt.save(args.checkpoint, T, step + 1, cfg)
+            if args.vtk_interval:
+                write_series(T, cfg.ntime)
+            out["residual_history"] = hist
         err = np.asarray(solver.error(T))
         out.update(elements=mesh.num_elements,
                    children=4 ** args.n_split,
                    L1_error=float(err.mean()),
                    residual=float(solver.convergence(T)))
-        coords = vtu_io.semi_coords(mesh.X, args.n_split)
         vals = np.asarray(T).reshape(-1, 3)
     else:
         raise SystemExit(f"unknown mode {args.mode}")

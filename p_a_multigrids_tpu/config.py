@@ -117,6 +117,20 @@ class SemiConfig:
     # exchange done in-kernel over an RCM band.  None = auto (TPU only);
     # True forces (interpret mode on CPU); False disables.
     pallas_phase: bool | None = None
+    # coarse-level operator construction: "geometric" re-derives each level
+    # from rescaled element integrals (reference parity,
+    # transport_tri_semi.F90:319-379); "galerkin" forms the variational
+    # P^T A P triple product on the block stencil (ops/galerkin.py) — equal
+    # to geometric for scale-invariant physics, variationally consistent
+    # for the SIP surface terms.
+    coarse_operator: str = "geometric"
+    # residual restriction: "linear" is the variational P^T transfer (exact
+    # for the nested P1 spaces); "corner_average" reproduces the
+    # reference's restrictor (splitting.F90:10-32 — coarse node k takes the
+    # mean of the residual over the corner child at that node), which is
+    # only stable for its active block-diagonal (surface_terms=False)
+    # operator.
+    restrictor: str = "linear"
     physics: Physics = dataclasses.field(default_factory=Physics)
     # manufactured solution: Dirichlet/source/analytical sin(x+y)
     # (splitting.F90:1401-1405, transport_tri_semi.F90:593)

@@ -197,10 +197,13 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
     u_vec = np.asarray(cfg.physics.u)
 
     # macro-scale stencils (children reuse via scalings)
-    M0 = np.einsum("gi,gj,ug->uij", n_tab, n_tab, detwei0)
-    ml0 = np.einsum("gj,ug->uj", n_tab, detwei0)
-    D0 = k * np.einsum("ugdi,ugdj,ug->uij", nx0, nx0, detwei0)
-    K0 = np.einsum("ugdi,d,gj,ug->uij", nx0, u_vec, n_tab, detwei0)
+    from ..ops import local_matrices as lm
+    M0 = lm.mass(n_tab, detwei0)
+    ml0 = lm.lumped_mass(n_tab, detwei0)
+    D0 = lm.diffusion_volume(nx0, detwei0, k)
+    K0 = lm.advection_stiffness(
+        n_tab, nx0, detwei0,
+        np.broadcast_to(u_vec, detwei0.shape + (2,)))
 
     levels = []
     for i, lvl in enumerate(grid.levels):
@@ -578,6 +581,14 @@ def restrict_corner_average(r_fine: jax.Array, n_coarse: int) -> jax.Array:
     return r_fine[:, corners, :].mean(axis=-1)           # (U, Cc, 3)
 
 
+def restrict_corner_average_t(r_fine_t: jax.Array, n_coarse: int
+                              ) -> jax.Array:
+    """restrict_corner_average in transposed layout: (3, Cf, U)->(3, Cc, U)."""
+    fine_of, _, _ = _transfer_tables(n_coarse)
+    corners = jnp.asarray(fine_of[:, :3])                # (Cc, 3)
+    return jnp.transpose(r_fine_t[:, corners, :].mean(axis=0), (1, 0, 2))
+
+
 def prolong(e_coarse: jax.Array, n_coarse: int) -> jax.Array:
     """Fine correction by linear interpolation of the coarse correction."""
     _, parent, pweights = _transfer_tables(n_coarse)
@@ -642,10 +653,20 @@ class SemiSolver:
             self._fmod = _fused
             build = (_stencil.probe_stencil if cfg.stencil_probe
                      else _stencil.build_stencil)
-            self._stencil = [
-                _stencil.StencilOperator(
-                    build(L, cfg.physics, cfg.dt, cfg.theta), dtype)
-                for L in problem.levels]
+            datas = [build(L, cfg.physics, cfg.dt, cfg.theta)
+                     for L in problem.levels]
+            if cfg.coarse_operator == "galerkin":
+                # variational R A P coarse blocks (static-sparsity SpGEMM)
+                # instead of the reference's per-level geometric re-assembly
+                from ..ops import galerkin as _galerkin
+                for i in range(1, len(datas)):
+                    datas[i] = _galerkin.galerkin_coarse(
+                        datas[i - 1], problem.levels[i]["s"], datas[i])
+            elif cfg.coarse_operator != "geometric":
+                raise ValueError(
+                    f"unknown coarse_operator {cfg.coarse_operator!r}")
+            self._stencil = [_stencil.StencilOperator(d, dtype)
+                             for d in datas]
 
         # fused Pallas relaxation-phase kernels (ops/pallas_stencil): one
         # kernel launch per smoothing phase instead of ~6 XLA fusions per
@@ -779,20 +800,10 @@ class SemiSolver:
         return 1.2 * float(power(v0))
 
     def _cheb_roots(self, li: int):
+        from ..ops import smoothers
         cfg = self.cfg
-        lam = self._lam_max[li]
-        a_, b_ = cfg.cheb_lower * lam, lam
-        m = cfg.cheb_degree
-        ks = np.arange(1, m + 1)
-        roots = (0.5 * (b_ + a_)
-                 + 0.5 * (b_ - a_) * np.cos(np.pi * (2 * ks - 1) / (2 * m)))
-        order = []
-        lo, hi = 0, m - 1
-        while lo <= hi:
-            order.append(roots[lo]); lo += 1
-            if lo <= hi:
-                order.append(roots[hi]); hi -= 1
-        return order
+        return smoothers.chebyshev_roots(self._lam_max[li], cfg.cheb_degree,
+                                         cfg.cheb_lower)
 
     def _smooth_fused_t(self, li: int, xt, bt, sweeps: int, with_bc: bool):
         """Chebyshev/block-Jacobi smoothing entirely in transposed layout:
@@ -846,53 +857,29 @@ class SemiSolver:
             xt = self._smooth_fused_t(li, f.to_t(x), f.to_t(b), sweeps,
                                       with_bc)
             return f.from_t(xt)
+        from ..ops import smoothers
         A = lambda t: self._apply(li, t, with_bc)
         d = diag_A(L, phys, dt, theta)
         if cfg.solver == Solver.CHEBYSHEV:
-            # product form: x <- x + (1/r_k) D^-1 (b - A x) over the
-            # Chebyshev roots r_k of [a, b]; roots interleaved large/small
-            # to keep intermediate amplification bounded in f32
             Ainv = self._block_inv[li]
-            lam = self._lam_max[li]
-            a_, b_ = cfg.cheb_lower * lam, lam
-            m = cfg.cheb_degree
-            ks = np.arange(1, m + 1)
-            roots = (0.5 * (b_ + a_)
-                     + 0.5 * (b_ - a_) * np.cos(np.pi * (2 * ks - 1)
-                                                / (2 * m)))
-            order = []
-            lo, hi = 0, m - 1
-            while lo <= hi:
-                order.append(roots[lo]); lo += 1
-                if lo <= hi:
-                    order.append(roots[hi]); hi -= 1
-            def body(x, _):
-                for r in order:
-                    z = jnp.einsum("ucij,ucj->uci", Ainv, b - A(x))
-                    x = x + z / jnp.asarray(r, x.dtype)
-                return x, None
-            sweeps = max(1, sweeps // m)
-        elif cfg.solver == Solver.RICHARDSON:
-            def body(x, _):
-                return x + omega * (b - A(x)), None
-        elif cfg.solver == Solver.BLOCK_JACOBI:
-            Ainv = self._block_inv[li]
-            def body(x, _):
-                r = b - A(x)
-                return x + omega * jnp.einsum("ucij,ucj->uci", Ainv, r), None
-        elif cfg.solver == Solver.GAUSS_SEIDEL and phys.surface_terms:
+            solve = lambda r: jnp.einsum("ucij,ucj->uci", Ainv, r)
+            return smoothers.chebyshev(A, b, x, solve, self._cheb_roots(li),
+                                       max(1, sweeps // cfg.cheb_degree))
+        if cfg.solver == Solver.RICHARDSON:
+            return smoothers.richardson(A, b, x, omega, sweeps)
+        if cfg.solver == Solver.BLOCK_JACOBI:
+            return smoothers.block_jacobi_inv(A, b, x, self._block_inv[li],
+                                              omega, sweeps)
+        if cfg.solver == Solver.GAUSS_SEIDEL and phys.surface_terms:
+            # two-color GS: up/down orientation is a natural coloring of
+            # the intra-macro adjacency (replaces the reference's
+            # sequential sweep, transport_tri_semi.F90:501-507)
             up = (L["updown"] > 0)[None, :, None]
-            def body(x, _):
-                x = jnp.where(up, x + omega / d * (b - A(x)), x)
-                x = jnp.where(~up, x + omega / d * (b - A(x)), x)
-                return x, None
-        else:
-            # Jacobi; also exact GS-equivalent when there is no inter-element
-            # coupling (the reference's active mode 9 path)
-            def body(x, _):
-                return x + omega / d * (b - A(x)), None
-        x, _ = jax.lax.scan(body, x, None, length=sweeps)
-        return x
+            return smoothers.colored_gs(A, b, x, d, (up, ~up), omega,
+                                        sweeps)
+        # Jacobi; also exact GS-equivalent when there is no inter-element
+        # coupling (the reference's active mode 9 path)
+        return smoothers.jacobi(A, b, x, d, omega, sweeps)
 
     def residual(self, li: int, x, b, with_bc: bool):
         return b - self._apply(li, x, with_bc)
@@ -919,6 +906,18 @@ class SemiSolver:
                                        max(1, sweeps // cfg.cheb_degree),
                                        with_bc)
         return op.smooth_jacobi(x_t, b_t, cfg.omega, sweeps, with_bc)
+
+    def _restrict(self, r, s_next):
+        if self.cfg.restrictor == "corner_average":
+            return restrict_corner_average(r, s_next)
+        if self.cfg.restrictor != "linear":
+            raise ValueError(f"unknown restrictor {self.cfg.restrictor!r}")
+        return restrict(r, s_next)
+
+    def _restrict_t(self, r_t, s_next):
+        if self.cfg.restrictor == "corner_average":
+            return restrict_corner_average_t(r_t, s_next)
+        return restrict_t(r_t, s_next)
 
     def _phase_coefs(self, li: int, sweeps: int):
         """Per-round step sizes of one relaxation phase (pallas path)."""
@@ -947,7 +946,7 @@ class SemiSolver:
             coefs = self._phase_coefs(li, cfg.n_smooth)
             x_t, z_t = ph.phase(x_t, bp, coefs)
             r_t = ph.mul_self(z_t)                 # r = D z = b - A x
-            bc_ = restrict_t(r_t, self.p.levels[li + 1]["s"])
+            bc_ = self._restrict_t(r_t, self.p.levels[li + 1]["s"])
             e_t = self._vcycle_t(li + 1, jnp.zeros_like(bc_), bc_, hom)
             x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
             return ph.phase(x_t, bp, coefs)[0]
@@ -960,7 +959,7 @@ class SemiSolver:
                 cfg.coarse_sweeps if nl > 1 else cfg.n_smooth, with_bc)
         x_t = self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
         r_t = b_t - op.apply(x_t, with_bc)
-        bc_ = restrict_t(r_t, self.p.levels[li + 1]["s"])
+        bc_ = self._restrict_t(r_t, self.p.levels[li + 1]["s"])
         e_t = self._vcycle_t(li + 1, jnp.zeros_like(bc_), bc_, hom)
         x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
         return self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
@@ -1004,7 +1003,7 @@ class SemiSolver:
                                 with_bc)
         x = self._smooth(li, x, b, cfg.n_smooth, with_bc)
         r = self.residual(li, x, b, with_bc)
-        bc_ = restrict(r, self.p.levels[li + 1]["s"])
+        bc_ = self._restrict(r, self.p.levels[li + 1]["s"])
         e = jnp.zeros_like(bc_)
         e = self._vcycle(li + 1, e, bc_, hom)
         x = x + prolong(e, self.p.levels[li + 1]["s"])

@@ -71,9 +71,10 @@ def build_problem(cfg: RectConfig) -> RectProblem:
         sdet[:, f] = np.asarray(sd)
         snorm[:, f] = np.asarray(sn_)
 
-    mass = np.einsum("gi,gj,eg->eij", n, n, np.asarray(detwei))
-    minv = np.linalg.inv(mass)
-    ml = np.einsum("gj,eg->ej", n, np.asarray(detwei))
+    from ..ops import local_matrices as lm
+    mass = lm.mass(n, np.asarray(detwei))
+    minv = np.linalg.inv(mass)        # FINDInv replacement (batched, setup)
+    ml = lm.lumped_mass(n, np.asarray(detwei))
 
     tables = dict(
         n=jnp.asarray(n, dtype),

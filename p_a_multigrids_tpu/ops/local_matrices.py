@@ -4,9 +4,11 @@ face-penalty / upwind flux coefficients).
 The reference assembles these one element at a time inside its solver loops
 (`get_un_ele_mass_stiff_diffvol` /root/reference/ShapFun_unstruc.F90:304-407,
 mass/stiffness loops transport_tri.F90:169-230, penalty
-transport_tri_semi.F90:468-477).  Here each is a single einsum over the whole
-element batch, producing dense (..., nloc, nloc) blocks that feed either the
-block-diagonal smoothers or the BSR assembler.
+transport_tri_semi.F90:468-477).  Here each is a single NumPy einsum over the
+whole element batch, run ONCE at setup (host-side: assembly is not on the
+device hot path — the results are baked into the level tables / BSR values),
+producing dense (..., nloc, nloc) blocks consumed by models.semi.build_problem
+and models.transport_rect.
 
 Shapes use the convention: detwei (..., ngi), nx (..., ngi, ndim, nloc),
 n (ngi, nloc) shared tables.
@@ -14,17 +16,17 @@ n (ngi, nloc) shared tables.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
+import numpy as np
 
 
 def mass(n, detwei):
     """M[i,j] = sum_g n[g,i] n[g,j] detwei[g]  -> (..., nloc, nloc)."""
-    return jnp.einsum("gi,gj,...g->...ij", n, n, detwei)
+    return np.einsum("gi,gj,...g->...ij", n, n, detwei)
 
 
 def lumped_mass(n, detwei):
     """ml[j] = sum_g n[g,j] detwei[g] (row-sum lumping) -> (..., nloc)."""
-    return jnp.einsum("gj,...g->...j", n, detwei)
+    return np.einsum("gj,...g->...j", n, detwei)
 
 
 def advection_stiffness(n, nx, detwei, ugi):
@@ -36,7 +38,7 @@ def advection_stiffness(n, nx, detwei, ugi):
 
     ugi: (..., ngi, ndim) velocity at quadrature points.
     """
-    return jnp.einsum("...gdi,...gd,gj,...g->...ij", nx, ugi, n, detwei)
+    return np.einsum("...gdi,...gd,gj,...g->...ij", nx, ugi, n, detwei)
 
 
 def diffusion_volume(nx, detwei, k):
@@ -45,8 +47,8 @@ def diffusion_volume(nx, detwei, k):
     (ShapFun_unstruc.F90:331 contracted as in transport_tri_semi.F90:602-606.)
     k may be scalar or batched (...,).
     """
-    D = jnp.einsum("...gdi,...gdj,...g->...ij", nx, nx, detwei)
-    return D * jnp.asarray(k)[..., None, None] if jnp.ndim(k) else k * D
+    D = np.einsum("...gdi,...gdj,...g->...ij", nx, nx, detwei)
+    return D * np.asarray(k)[..., None, None] if np.ndim(k) else k * D
 
 
 def face_penalty(face_sn, sdetwei, k_over_dx):
@@ -64,7 +66,7 @@ def face_penalty(face_sn, sdetwei, k_over_dx):
       k_over_dx: (..., nface)
     Returns (..., nface, nloc, nloc).
     """
-    P = jnp.einsum("fgi,fgj,...fg->...fij", face_sn, face_sn, sdetwei)
+    P = np.einsum("fgi,fgj,...fg->...fij", face_sn, face_sn, sdetwei)
     return P * k_over_dx[..., None, None]
 
 
@@ -89,8 +91,8 @@ def upwind_face_flux(face_sn, face_sn2, sdetwei, snorm, usgi, usgi2,
     Returns flux (..., nloc) = sum over faces of surface contributions.
     """
     uavg = 0.5 * (usgi + usgi2)
-    income = 0.5 + 0.5 * jnp.sign(-jnp.sum(snorm * uavg, axis=-1))
+    income = 0.5 + 0.5 * np.sign(-np.sum(snorm * uavg, axis=-1))
     s_cont = snorm * sdetwei[..., None] * (
         ((1.0 - income) * t_sgi)[..., None] * usgi
         + (income * t2_sgi)[..., None] * usgi2)
-    return jnp.einsum("fgi,...fgd->...i", face_sn, s_cont)
+    return np.einsum("fgi,...fgd->...i", face_sn, s_cont)

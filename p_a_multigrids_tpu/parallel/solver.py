@@ -113,42 +113,22 @@ class DistributedSemiSolver:
 
     # -- distributed numerics ---------------------------------------------
     def _smooth(self, L, li, x, b, sweeps, with_bc):
+        from ..ops import smoothers
         cfg = self.cfg
         phys = cfg.physics
         g = L["gather"]
         A = lambda t: semi.apply_A(L, phys, cfg.dt, cfg.theta, t, with_bc, g)
         if cfg.solver == Solver.CHEBYSHEV:
-            lam = self._serial._lam_max[li]
-            a_, b_ = cfg.cheb_lower * lam, lam
-            m = cfg.cheb_degree
-            ks = np.arange(1, m + 1)
-            roots = (0.5 * (b_ + a_) + 0.5 * (b_ - a_)
-                     * np.cos(np.pi * (2 * ks - 1) / (2 * m)))
-            order = []
-            lo, hi = 0, m - 1
-            while lo <= hi:
-                order.append(roots[lo]); lo += 1
-                if lo <= hi:
-                    order.append(roots[hi]); hi -= 1
             Ainv = L["block_inv"]
-            def body(x, _):
-                for r in order:
-                    z = jnp.einsum("ucij,ucj->uci", Ainv, b - A(x))
-                    x = x + z / jnp.asarray(r, x.dtype)
-                return x, None
-            sweeps = max(1, sweeps // m)
-        elif cfg.solver == Solver.BLOCK_JACOBI:
-            Ainv = L["block_inv"]
-            def body(x, _):
-                r = b - A(x)
-                return (x + cfg.omega
-                        * jnp.einsum("ucij,ucj->uci", Ainv, r)), None
-        else:
-            d = semi.diag_A(L, phys, cfg.dt, cfg.theta)
-            def body(x, _):
-                return x + cfg.omega / d * (b - A(x)), None
-        x, _ = jax.lax.scan(body, x, None, length=sweeps)
-        return x
+            solve = lambda r: jnp.einsum("ucij,ucj->uci", Ainv, r)
+            return smoothers.chebyshev(A, b, x, solve,
+                                       self._serial._cheb_roots(li),
+                                       max(1, sweeps // cfg.cheb_degree))
+        if cfg.solver == Solver.BLOCK_JACOBI:
+            return smoothers.block_jacobi_inv(A, b, x, L["block_inv"],
+                                              cfg.omega, sweeps)
+        d = semi.diag_A(L, phys, cfg.dt, cfg.theta)
+        return smoothers.jacobi(A, b, x, d, cfg.omega, sweeps)
 
     def _vcycle(self, Ls, li, x, b):
         cfg = self.cfg

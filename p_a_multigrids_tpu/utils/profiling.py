@@ -83,16 +83,12 @@ class Roofline:
 
 def operator_roofline(U: int, C: int, nloc: int, seconds: float,
                       dtype_bytes: int = 4) -> Roofline:
-    """Roofline estimate for one fused operator application.
-
-    Data: read T + neighbor values + per-macro stencils, write y.
-    FLOPs: volume block matmuls + surface einsums (~4 block-matmuls/row).
-    """
+    """Roofline for one block-STENCIL operator application (ops/stencil):
+    the dominant traffic is the per-element coefficient blocks (self + 3
+    faces, nloc x nloc each) streamed from HBM; state in/out is tiny.
+    Reported by bench.py as op_achieved_gbps."""
     E = U * C
-    nnz_blocks = E * 4
-    flops = 2.0 * nnz_blocks * nloc * nloc
-    bytes_moved = dtype_bytes * (
-        E * nloc * 3          # read T + gathered neighbors + write y
-        + U * 4 * nloc * nloc  # stencil blocks
-    )
+    nnz = E * 4 * nloc * nloc
+    flops = 2.0 * nnz
+    bytes_moved = dtype_bytes * (nnz + 3 * E * nloc)
     return Roofline(flops=flops, bytes_moved=bytes_moved, seconds=seconds)

@@ -81,3 +81,29 @@ def test_pcg_and_bicgstab():
     x2, _, _ = krylov.bicgstab(lambda v: jnp.asarray(N) @ v, jnp.asarray(b),
                                jnp.zeros(n), tol=1e-12, maxiter=400)
     assert np.allclose(N @ np.asarray(x2), b, atol=1e-5)
+
+
+def test_cli_vtk_interval_series(tmp_path):
+    """--vtk-interval writes Tracer/error/analytical VTUs per interval
+    (reference vtk_interval, transport_tri_semi.F90:301-312)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    base = os.path.join(tmp_path, "series.vtu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "p_a_multigrids_tpu", "--mode", "9",
+         "--mesh", "/root/reference/Mesh_files/test_sn2.msh",
+         "--n-split", "1", "--levels", "1", "--ntime", "4", "--cpu",
+         "--vtk-interval", "2", "--vtu", base],
+        capture_output=True, text=True, env=env, cwd="/root/repo")
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    series = out["vtu_series"]
+    assert len(series) == 3          # steps 0, 2 and the final state
+    for path in series:
+        text = open(path).read()
+        for field in ("Tracer", "error", "analytical"):
+            assert f'Name="{field}"' in text
+    assert len(out["residual_history"]) == 4

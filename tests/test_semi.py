@@ -130,3 +130,28 @@ def test_solver_variants_agree(mesh):
         x = s._smooth(0, T, b, 30, True)
         r1 = float(jnp.abs(s.residual(0, x, b, True)).max())
         assert r1 < r0, solver_kind
+
+
+def test_reference_mode9_configuration_end_to_end(mesh):
+    """The reference's ACTIVE mode-9 path: surface terms disabled
+    (transport_tri_semi.F90:619-688 commented out), Jacobi omega=0.8
+    smoothing (:140,491-497), and the corner-average restrictor
+    (splitting.F90:10-32) — run end-to-end and converge."""
+    import jax.numpy as jnp
+
+    # the reference's own dt (CFL*dx of the mode-9 call, main.F90:43-47);
+    # without surface terms each element block is M/dt + theta*D, which
+    # needs the mass term (pure per-element P1 diffusion is singular)
+    cfg = SemiConfig(
+        n_split=2, multi_levels=2, dt=1.25e-5, ntime=1, n_multigrid=6,
+        n_smooth=4, omega=0.8, solver=Solver.JACOBI,
+        restrictor="corner_average",
+        physics=Physics(surface_terms=False), dtype="float64")
+    problem = msemi.build_problem(mesh, cfg)
+    solver = msemi.SemiSolver(problem)
+    T = solver.initial_condition()
+    b = solver._rhs(T)
+    r0 = float(jnp.max(jnp.abs(solver.residual(0, T, b, True))))
+    T = solver._step(T)
+    r1 = float(jnp.max(jnp.abs(solver.residual(0, T, b, True))))
+    assert r1 < 1e-3 * r0, (r0, r1)
