@@ -54,6 +54,11 @@ def main(argv=None):
                     help="volume source expression of x, y")
     ap.add_argument("--analytical", type=str, default=None, metavar="EXPR",
                     help="exact solution expression (for the error field)")
+    ap.add_argument("--debug", action="store_true",
+                    help="semi modes: checkify sanitizer mode — NaN/Inf "
+                         "generation or out-of-bounds indexing raises "
+                         "(utils/debugging; the -fbounds-check equivalent, "
+                         "reference Makefile:8)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the JAX_PLATFORMS env var "
@@ -132,7 +137,7 @@ def main(argv=None):
                             advection=any(args.u)),
             fns=fns, manufactured=all(
                 v is None for v in (args.ic, args.bc, args.source)),
-            dtype=dtype)
+            dtype=dtype, debug=args.debug)
         if args.mode == 7:
             import dataclasses
             cfg = dataclasses.replace(

@@ -137,6 +137,11 @@ class SemiConfig:
     manufactured: bool = True
     fns: ProblemFns = dataclasses.field(default_factory=ProblemFns)
     dtype: str = "float32"
+    # sanitizer mode (utils/debugging.py): instrument the jitted step with
+    # checkify float + index checks — the TPU-native -fbounds-check
+    # (reference Makefile:8).  NaN/Inf generation or an out-of-bounds
+    # gather raises instead of propagating.  Debug-only: slower.
+    debug: bool = False
 
 
 @dataclasses.dataclass

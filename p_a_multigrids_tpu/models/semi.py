@@ -729,7 +729,15 @@ class SemiSolver:
             Ainv = self._coarse_inv_np     # host copy: no device readback
             self._coarse_inv_t = jnp.asarray(Ainv[perm][:, perm],
                                              Ainv.dtype)
-        self._step = jax.jit(self._make_step())
+        step_fn = self._make_step()
+        self._step = jax.jit(step_fn)
+        if cfg.debug:
+            # sanitizer mode: the same graphs, checkify-instrumented
+            # (utils/debugging — the -fbounds-check equivalent)
+            from ..utils import debugging
+            self._step = debugging.checked(step_fn)
+            if self._use_t_cycle:
+                self._step_t = debugging.checked(self._step_t_raw)
 
     def _apply(self, li: int, T, with_bc: bool):
         """Operator application choosing the fastest available path."""
@@ -1072,6 +1080,7 @@ class SemiSolver:
                 T_t, _ = jax.lax.scan(cycle, T_t, None,
                                       length=self.cfg.n_multigrid)
                 return T_t
+            self._step_t_raw = step_t
             self._step_t = jax.jit(step_t)
             return lambda T: f.from_t(step_t(f.to_t(T)))
 
