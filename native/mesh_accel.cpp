@@ -10,6 +10,7 @@
 // face2=edge(n1,n2).  dir_flag[e][f] = 1 when the two incident elements
 // traverse the shared edge in the same direction.
 
+#include <cstddef>
 #include <cstdint>
 #include <unordered_map>
 #include <vector>

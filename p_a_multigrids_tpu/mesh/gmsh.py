@@ -27,6 +27,22 @@ class RawGmsh:
 
 
 def read_msh(path: str) -> RawGmsh:
+    """Parse a gmsh 2.x ASCII file, preferring the native C++ loader
+    (native/gmsh_reader.cpp — the counterpart of the reference's compiled
+    ReadMSH) with this Python implementation as fallback and cross-check."""
+    try:
+        from ..utils import native
+        if native.available():
+            v, t, r = native.read_msh(path)
+            return RawGmsh(vertices=v, triangles=t, region_id=r)
+    except ValueError:
+        raise
+    except Exception:  # pragma: no cover - loader unavailable/stale .so
+        pass
+    return _read_msh_py(path)
+
+
+def _read_msh_py(path: str) -> RawGmsh:
     with open(path) as f:
         lines = f.read().split("\n")
     i = 0

@@ -47,8 +47,26 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.gmsh_read.restype = ctypes.c_int
+            lib.gmsh_read.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_double)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_char_p, ctypes.c_int64,
+            ]
+            lib.gmsh_free.restype = None
+            lib.gmsh_free.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
             _LIB = lib
-        except OSError:
+        except (OSError, AttributeError):
+            # missing or stale .so (e.g. built before gmsh_read existed):
+            # fall back to the Python implementations
             _LIB = None
     return _LIB
 
@@ -74,3 +92,32 @@ def neighbor_topology(triangles: np.ndarray):
     if rc != 0:
         raise RuntimeError(f"mesh_accel.neighbor_topology failed rc={rc}")
     return neig, nface, dirf.astype(bool)
+
+
+def read_msh(path: str):
+    """C++ gmsh 2.x loader (native/gmsh_reader.cpp); same contract as
+    mesh.gmsh.read_msh.  Returns (vertices (N,3) f64, triangles (E,3) i32
+    0-based, region_id (E,) i32); raises ValueError on malformed input."""
+    lib = _load()
+    verts_p = ctypes.POINTER(ctypes.c_double)()
+    tris_p = ctypes.POINTER(ctypes.c_int32)()
+    regs_p = ctypes.POINTER(ctypes.c_int32)()
+    nnodes = ctypes.c_int64(0)
+    ntris = ctypes.c_int64(0)
+    errbuf = ctypes.create_string_buffer(256)
+    rc = lib.gmsh_read(path.encode(), ctypes.byref(verts_p),
+                       ctypes.byref(nnodes), ctypes.byref(tris_p),
+                       ctypes.byref(regs_p), ctypes.byref(ntris),
+                       errbuf, ctypes.c_int64(len(errbuf)))
+    if rc != 0:
+        raise ValueError(f"{path}: {errbuf.value.decode()}")
+    try:
+        n, e = nnodes.value, ntris.value
+        vertices = np.ctypeslib.as_array(verts_p, (n, 3)).copy()
+        triangles = (np.ctypeslib.as_array(tris_p, (e, 3)).copy()
+                     if e else np.zeros((0, 3), np.int32))
+        region_id = (np.ctypeslib.as_array(regs_p, (e,)).copy()
+                     if e else np.zeros((0,), np.int32))
+    finally:
+        lib.gmsh_free(verts_p, tris_p, regs_p)
+    return vertices, triangles, region_id

@@ -63,6 +63,34 @@ def test_native_matches_python():
     assert (dirf == dirf2).all()
 
 
+def test_native_gmsh_reader_matches_python(ref_meshdir):
+    """C++ loader (native/gmsh_reader.cpp) == Python parser bit-for-bit
+    on representative zoo meshes (the ReadMSH contract,
+    Msh2Tri.F90:132-334)."""
+    if not native.available():
+        pytest.skip("native lib not built")
+    from p_a_multigrids_tpu.mesh import gmsh
+    for name in ("test_sn2.msh", "900_ele.msh", "untitled8192.msh",
+                 "irregular.msh"):
+        path = f"{ref_meshdir}/{name}"
+        py = gmsh._read_msh_py(path)
+        v, t, r = native.read_msh(path)
+        np.testing.assert_array_equal(v, py.vertices)
+        np.testing.assert_array_equal(t, py.triangles)
+        np.testing.assert_array_equal(r, py.region_id)
+
+
+def test_native_gmsh_reader_errors(tmp_path):
+    if not native.available():
+        pytest.skip("native lib not built")
+    bad = tmp_path / "bad.msh"
+    bad.write_text("$MeshFormat\n4.1 0 8\n$EndMeshFormat\n")
+    with pytest.raises(ValueError, match="unsupported gmsh version"):
+        native.read_msh(str(bad))
+    with pytest.raises(ValueError, match="cannot open"):
+        native.read_msh(str(tmp_path / "missing.msh"))
+
+
 def test_rect_mesh():
     x_all, face_ele = structured.rect_mesh(3, 2, 1.0, 2.0)
     assert x_all.shape == (6, 2, 4)
