@@ -26,9 +26,23 @@ from __future__ import annotations
 
 import json
 import math
+import os
+import sys
 import time
 
+# persistent compilation cache: the driver may run this repeatedly and the
+# tunneled-TPU compiles are the dominant wall cost of the benchmark
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+
 import numpy as np
+
+_T0 = time.time()
+
+
+def _mark(msg: str) -> None:
+    """Phase timing on stderr (stdout carries only the JSON line)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def _timed_scan(step, x0, n, reps=3):
@@ -70,12 +84,15 @@ def _vcycle_stats(solver, n_rho=10, skip=2, n_time=100):
 
     @jax.jit
     def resid_seq(x):
-        norms = []
-        for _ in range(n_rho):
+        # scan, not unroll: the V-cycle body compiles ONCE regardless of
+        # n_rho (the unrolled form dominated the benchmark's wall time
+        # with minutes-long tunneled-TPU compiles)
+        def cycle(x, _):
             x = solver._vcycle(0, x, b)
             r = solver.residual(0, x, b, True)
-            norms.append(jnp.max(jnp.abs(r)))
-        return jnp.stack(norms)
+            return x, jnp.max(jnp.abs(r))
+        _, norms = jax.lax.scan(cycle, x, None, length=n_rho)
+        return norms
     norms = np.asarray(resid_seq(T), np.float64)
     with np.errstate(divide="ignore"):
         rho = float((norms[-1] / norms[skip]) ** (1.0 / (n_rho - 1 - skip)))
@@ -88,6 +105,7 @@ def main():
     from p_a_multigrids_tpu.mesh import topology
 
     jax.devices()                      # client init outside the setup timer
+    _mark('client init done')
 
     mesh = topology.rcm_reorder(
         topology.from_msh("/root/reference/Mesh_files/untitled8192.msh"))
@@ -95,7 +113,9 @@ def main():
     solver = _solver_for(mesh, n_split=2, levels=2, dt=0.05)
     setup_s = time.time() - t0
 
+    _mark(f'setup done ({setup_s:.1f}s)')
     per_vcycle, rho, r_first, r_last = _vcycle_stats(solver)
+    _mark('vcycle stats done')
 
     U = mesh.num_elements
     C = 4 ** 2
@@ -118,8 +138,17 @@ def main():
     import jax.numpy as jnp
     x0 = jnp.asarray(np.random.default_rng(0).normal(
         size=(U * C, 3)).astype(np.float32))
-    spmv_s = _timed_scan(lambda v: A.spmv(v), x0, n=100)
+    spmv_xla_s = _timed_scan(lambda v: A.spmv(v), x0, n=100)
+    # Pallas banded-one-hot kernel (ops/pallas_bsr) — the production SpMV
+    from p_a_multigrids_tpu.ops.pallas_bsr import spmv_fast
+    spmv_fn = spmv_fast(A, interpret=jax.default_backend() == "cpu",
+                        group=C)
+    pallas_spmv = spmv_fn is not A.spmv
+    spmv_s = (_timed_scan(lambda v: spmv_fn(v), x0, n=100)
+              if pallas_spmv else spmv_xla_s)
+    _mark('spmv bench done')
     spmv_gnnz = nnz / spmv_s / 1e9
+    spmv_xla_gnnz = nnz / spmv_xla_s / 1e9
 
     # manufactured-solution L1 gate on the bench mesh (sin(x+y), k=1):
     # steady diffusion solved to convergence by V-cycle-preconditioned PCG
@@ -130,7 +159,9 @@ def main():
     gate_cfg = SemiConfig(n_split=2, multi_levels=3, dt=1e8, ntime=1,
                           krylov=True, krylov_tol=1e-9, dtype="float32")
     gate_solver = msemi.SemiSolver(msemi.build_problem(mesh, gate_cfg))
+    _mark('gate solver built')
     Tg = gate_solver.run()
+    _mark('gate solve done')
     l1 = float(np.asarray(gate_solver.error(Tg)).mean())
 
     # level sweep: the reference's multigrid-benefit shape
@@ -142,7 +173,9 @@ def main():
             "/root/reference/Mesh_files/multigrid_meshes/2_split.msh"))
         for lv in (1, 2, 4, 6):
             s2 = _solver_for(mesh2, n_split=5, levels=lv, dt=1e8)
+            _mark(f'sweep level {lv} built')
             pc, rh, _, _ = _vcycle_stats(s2, n_rho=10, n_time=30)
+            _mark(f'sweep level {lv} measured')
             t_conv = (pc * math.log(1e-6) / math.log(rh)
                       if 0 < rh < 1 else float("inf"))
             sweep[str(lv)] = {"ms_per_cycle": round(pc * 1e3, 3),
@@ -168,6 +201,8 @@ def main():
             "op_gnnz_s": round(op_nnz_s / 1e9, 2),
             "op_achieved_gbps": round(roof.achieved_gbps, 1),
             "spmv_gnnz_s": round(spmv_gnnz, 2),
+            "spmv_xla_gnnz_s": round(spmv_xla_gnnz, 2),
+            "pallas_spmv": pallas_spmv,
             "pallas_phase": solver._phase is not None,
             "level_sweep_900ele_nsplit4": sweep,
         },

@@ -114,10 +114,17 @@ class AssembledSemiSolver(semi.SemiSolver):
                                        cfg.dt, cfg.theta)
         self.offset = affine_offset(problem.levels[0], cfg.physics, cfg.dt,
                                     cfg.theta)
+        # Pallas banded SpMV when the mesh order allows it (ops/pallas_bsr);
+        # transparently the XLA gather path otherwise
+        from ..ops.pallas_bsr import spmv_fast
+        C = problem.levels[0]["updown"].shape[0]
+        self._spmv = spmv_fast(self.A_bsr,
+                               interpret=jax.default_backend() == "cpu",
+                               group=C)
 
     def apply_assembled(self, T: jax.Array, with_bc: bool = True):
         U, C, n = T.shape
-        y = self.A_bsr.spmv(T.reshape(U * C, n)).reshape(U, C, n)
+        y = self._spmv(T.reshape(U * C, n)).reshape(U, C, n)
         return y + self.offset if with_bc else y
 
 
