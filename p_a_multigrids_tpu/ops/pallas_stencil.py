@@ -59,18 +59,32 @@ class PhaseOperator:
     # band alignment for the in-kernel dynamic slice (lane-dim offsets)
     ALIGN = 256
 
-    @staticmethod
-    def _pick_tu(U: int) -> int:
-        """Macro-axis (lane) tile width: 128 when it divides U, else the
-        largest divisor <= 512 (tiny meshes run as a single tile)."""
-        if U % 128 == 0:
-            return 128
-        if U <= 512:
-            return U
-        for tu in range(512, 15, -1):
-            if U % tu == 0:
+    VMEM_BUDGET = 48 * 1024 * 1024
+
+    @classmethod
+    def _vmem(cls, C: int, U: int, tu: int, itemsize: int) -> int:
+        """Ping-pong state + RHS scratch + double-buffered coefficient
+        tiles (measured OK at ~19 MB on v5e)."""
+        return (3 * 3 * C * U + 2 * (81 + 9) * C * tu) * itemsize
+
+    @classmethod
+    def _pick_tu(cls, U: int, C: int, itemsize: int) -> int:
+        """Macro-axis (lane) tile width.  Mosaic requires lane-dim blocks
+        to be multiples of 128 or the whole axis, so candidates are 128,
+        its multiples dividing U, and U itself (tiny meshes run as a
+        single tile); among those, the first whose coefficient tiles fit
+        the VMEM budget — large C (deep n_split) shrinks the tile because
+        the (81+9)*C*TU coefficient planes dominate."""
+        cands = [tu for tu in (128, 256, 384, 512) if U % tu == 0]
+        cands += [U] if U not in cands else []
+        cands.sort(key=lambda tu: (tu != 128, tu))
+        for tu in cands:
+            if cls._vmem(C, U, tu, itemsize) <= cls.VMEM_BUDGET:
                 return tu
-        raise ValueError(f"U={U} has no usable macro tile width")
+        raise ValueError(
+            f"phase kernel needs ~{cls._vmem(C, U, cands[0], itemsize) >> 20}"
+            f" MB VMEM (C={C}, U={U}) — falling back to the XLA stencil "
+            f"path")
 
     def __init__(self, op: StencilOperator, interpret: bool = False):
         self.op = op
@@ -78,17 +92,10 @@ class PhaseOperator:
         data = op._data
         U, C, nb = op.U, op.C, op.nb
         self.U, self.C, self.nb = U, C, nb
-        self.TU = self._pick_tu(U)
-        self.T = U // self.TU
         dtype = np.dtype(op.S_t.dtype)    # no device readback
         self.dtype = dtype
-        # VMEM budget: ping-pong state + RHS scratch + double-buffered
-        # coefficient tiles must fit on-chip (measured OK at ~19 MB on v5e)
-        vmem = (3 * 3 * C * U + 2 * (81 + 9) * C * self.TU) * dtype.itemsize
-        if vmem > 48 * 1024 * 1024:
-            raise ValueError(
-                f"phase kernel needs ~{vmem >> 20} MB VMEM (C={C}, U={U}) — "
-                f"falling back to the XLA stencil path")
+        self.TU = self._pick_tu(U, C, dtype.itemsize)
+        self.T = U // self.TU
 
         # slot regrouping: canonical slot order -> (macro face, position)
         mf_of = splitting.CHILD2MACRO_FACE[data.bnd_f]       # (nb,)
