@@ -1,0 +1,90 @@
+"""Distributed-scaling proxy: per-chip V-cycle cost on a virtual device
+mesh vs the single-device solver, same problem, same operator.
+
+No multi-chip TPU hardware is reachable here, so the proxy runs the REAL
+distributed path (parallel/stencil_solver: shard_map over the macro axis,
+two neighbor ppermutes per operator application) on N virtual CPU devices
+and compares per-step wall time against the single-CPU stencil solver on
+the identical problem.  The interesting number is the overhead factor —
+(distributed time x N) / (serial time) — which isolates the halo-exchange
++ padding cost the sharding adds, because on a CPU host the N virtual
+devices share the same physical cores (no actual speedup is available,
+only overhead is measurable).
+
+Usage: python scripts/bench_distributed.py [n_devices] [mesh.msh] [n_split]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+n_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        f"{flags} --xla_force_host_platform_device_count={n_dev}").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from p_a_multigrids_tpu.config import SemiConfig
+from p_a_multigrids_tpu.mesh import topology
+from p_a_multigrids_tpu.models import semi
+from p_a_multigrids_tpu.parallel import partition
+from p_a_multigrids_tpu.parallel.stencil_solver import DistributedStencilSolver
+
+
+def timed(fn, x, n=20, reps=3):
+    y = fn(x)
+    jax.block_until_ready(y)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        v = x
+        for _ in range(n):
+            v = fn(v)
+        jax.block_until_ready(v)
+        best = min(best, time.time() - t0)
+    return best / n
+
+
+def main():
+    mesh_path = (sys.argv[2] if len(sys.argv) > 2
+                 else "/root/reference/Mesh_files/900_ele.msh")
+    n_split = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    mesh = topology.from_msh(mesh_path)
+    cfg = SemiConfig(n_split=n_split, multi_levels=2, dt=0.05, ntime=1,
+                     n_multigrid=1, dtype="float32", pallas_phase=False)
+
+    # serial single-device solver on the identically padded+ordered mesh
+    smesh = topology.reorder_elements(mesh, topology.rcm_order(mesh))
+    smesh, _ = partition.pad_mesh(smesh, n_dev)
+    ser = semi.SemiSolver(semi.build_problem(smesh, cfg))
+    t_serial = timed(ser._step, ser.initial_condition())
+
+    dist = DistributedStencilSolver(mesh, cfg, devices=jax.devices()[:n_dev])
+    t_dist = timed(dist.step, dist.initial_condition())
+
+    U = smesh.num_elements
+    C = 4 ** n_split
+    print(f"mesh={os.path.basename(mesh_path)} U={U} C={C} "
+          f"ndof={U * C * 3} devices={n_dev}")
+    print(f"serial step:      {t_serial * 1e3:8.2f} ms")
+    print(f"distributed step: {t_dist * 1e3:8.2f} ms "
+          f"(x{n_dev} virtual devices on one host)")
+    # on shared cores, perfect sharding would give t_dist == t_serial
+    # (the work is the same total); overhead = added halo/padding cost
+    print(f"sharding overhead factor: {t_dist / t_serial:6.3f} "
+          f"(1.0 = free halo exchange; < 1.25 = target)")
+
+
+if __name__ == "__main__":
+    main()
