@@ -60,12 +60,19 @@ def _timed_scan(step, x0, n, reps=3):
     return best / n
 
 
-def _solver_for(mesh, n_split, levels, dt, dtype="float32"):
+def _solver_for(mesh, n_split, levels, dt, dtype="float32",
+                coarse_krylov=False):
+    """coarse_krylov trades per-cycle speed for contraction: the CG
+    iterations are unfused launches (no phase kernel), so it pays off
+    only where the coarsest level is large/ill-conditioned (the deep
+    level sweep) — the shallow headline keeps the fused stationary
+    coarse phase."""
     from p_a_multigrids_tpu.config import SemiConfig
     from p_a_multigrids_tpu.models import semi as msemi
 
     cfg = SemiConfig(n_split=n_split, multi_levels=levels, dt=dt, ntime=1,
-                     n_multigrid=1, dtype=dtype)
+                     n_multigrid=1, dtype=dtype,
+                     coarse_krylov=coarse_krylov)
     problem = msemi.build_problem(mesh, cfg)
     return msemi.SemiSolver(problem)
 
@@ -172,7 +179,8 @@ def main():
         mesh2 = topology.rcm_reorder(topology.from_msh(
             "/root/reference/Mesh_files/multigrid_meshes/2_split.msh"))
         for lv in (1, 2, 4, 6):
-            s2 = _solver_for(mesh2, n_split=5, levels=lv, dt=1e8)
+            s2 = _solver_for(mesh2, n_split=5, levels=lv, dt=1e8,
+                             coarse_krylov=lv > 1)
             _mark(f'sweep level {lv} built')
             pc, rh, _, _ = _vcycle_stats(s2, n_rho=10, n_time=30)
             _mark(f'sweep level {lv} measured')

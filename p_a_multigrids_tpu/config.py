@@ -88,6 +88,17 @@ class SemiConfig:
     # the reference's 15 Gauss-Seidel sweeps / FINDInv Gauss-Jordan
     # (transport_tri_semi.F90:351-359, matrices.F90:1618-1716).
     coarse_direct_max_dof: int = 4096
+    # when the coarsest level exceeds the dense-direct cap, solve it with
+    # `coarse_sweeps` iterations of block-Jacobi-preconditioned CG instead
+    # of `coarse_sweeps` smoother applications (same cost per iteration,
+    # spectrally adaptive — an upgrade over the reference's 15 fixed
+    # Gauss-Seidel sweeps, transport_tri_semi.F90:351-359; measured
+    # two-grid rho 0.86 -> 0.57 on 900_ele at n_split=3).  Opt-in: the
+    # distributed solver and the reference-parity paths keep the
+    # stationary sweeps, and it must stay off when the V-cycle serves as
+    # a Krylov preconditioner (krylov=True) — an inner CG makes the
+    # preconditioner nonlinear across outer iterations.
+    coarse_krylov: bool = False
     # Krylov-accelerated implicit solves: each time step runs PCG (SPD
     # diffusion) or BiCGStab (advective) with the V-cycle/smoother as
     # preconditioner, instead of bare V-cycle iteration.  This is the

@@ -936,6 +936,19 @@ class SemiSolver:
             return [1.0 / r for r in roots] * reps
         return [cfg.omega] * sweeps
 
+    def _coarse_cg_t(self, li: int, x_t, b_t):
+        """Coarsest-level solve by block-Jacobi PCG (coarse_krylov=True):
+        `coarse_sweeps` CG iterations — one operator apply each, like a
+        smoother sweep, but spectrally adaptive where the Chebyshev
+        interval's fixed lower cut (cheb_lower) gives up."""
+        from ..ops import krylov
+        op = self._stencil[li]
+        x_sol, _, _ = krylov.pcg(
+            lambda v: op.apply(v, False), b_t, x_t,
+            precond=op.solve_diag, tol=0.0,
+            maxiter=self.cfg.coarse_sweeps)
+        return x_sol
+
     def _vcycle_t(self, li: int, x_t, b_t, hom: bool = False):
         cfg = self.cfg
         nl = len(self.p.levels)
@@ -949,6 +962,8 @@ class SemiSolver:
                     shape = x_t.shape
                     return (self._coarse_inv_t
                             @ b_t.reshape(-1)).reshape(shape)
+                if cfg.coarse_krylov and nl > 1:
+                    return self._coarse_cg_t(li, x_t, b_t)
                 sweeps = cfg.coarse_sweeps if nl > 1 else cfg.n_smooth
                 return ph.phase(x_t, bp, self._phase_coefs(li, sweeps))[0]
             coefs = self._phase_coefs(li, cfg.n_smooth)
@@ -962,6 +977,8 @@ class SemiSolver:
             if nl > 1 and self._coarse_inv_t is not None:
                 shape = x_t.shape
                 return (self._coarse_inv_t @ b_t.reshape(-1)).reshape(shape)
+            if cfg.coarse_krylov and nl > 1:
+                return self._coarse_cg_t(li, x_t, b_t)
             return self._smooth_t(
                 li, x_t, b_t,
                 cfg.coarse_sweeps if nl > 1 else cfg.n_smooth, with_bc)
@@ -1006,6 +1023,15 @@ class SemiSolver:
             if nl > 1 and self._coarse_inv is not None:
                 shape = x.shape
                 return (self._coarse_inv @ b.reshape(-1)).reshape(shape)
+            if cfg.coarse_krylov and nl > 1:
+                from ..ops import krylov
+                pre = (lambda r: jnp.einsum(
+                    "ucij,ucj->uci", self._block_inv[li], r)
+                       if hasattr(self, "_block_inv") else r)
+                x_sol, _, _ = krylov.pcg(
+                    lambda v: self._apply(li, v, False), b, x,
+                    precond=pre, tol=0.0, maxiter=cfg.coarse_sweeps)
+                return x_sol
             return self._smooth(li, x, b,
                                 cfg.coarse_sweeps if nl > 1 else cfg.n_smooth,
                                 with_bc)

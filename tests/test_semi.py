@@ -87,6 +87,29 @@ def test_multigrid_accelerates(mesh):
     assert res[2] < 0.2 * res[1]
 
 
+def test_coarse_krylov_accelerates(mesh):
+    """With a coarsest level too large for the dense direct solve, the
+    block-Jacobi-PCG coarsest solve (coarse_krylov=True) must contract
+    the residual strictly faster than the stationary coarse sweeps it
+    replaces, at one operator apply per iteration either way."""
+    import dataclasses
+    res = {}
+    base = SemiConfig(n_split=3, multi_levels=2, dt=1e6, ntime=1,
+                      n_multigrid=1, dtype="float64",
+                      coarse_direct_max_dof=0)   # force the iterative path
+    for ck in (False, True):
+        cfg = dataclasses.replace(base, coarse_krylov=ck)
+        s = msemi.SemiSolver(msemi.build_problem(mesh, cfg))
+        T = s.initial_condition()
+        b = s._rhs(T)
+        x = T
+        vc = jax.jit(lambda x: s._vcycle(0, x, b))
+        for _ in range(5):
+            x = vc(x)
+        res[ck] = float(jnp.abs(s.residual(0, x, b, True)).max())
+    assert res[True] < 0.5 * res[False]
+
+
 def test_refinement_convergence(mesh):
     """Discretization error decreases under refinement (SIPG consistency)."""
     errs = []
