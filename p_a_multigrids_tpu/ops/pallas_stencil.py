@@ -314,3 +314,240 @@ class PhaseOperator:
         return jnp.stack([
             S[i, 0] * z_t[0] + S[i, 1] * z_t[1] + S[i, 2] * z_t[2]
             for i in range(3)])
+
+
+class PhaseOperatorResident(PhaseOperator):
+    """Phase kernel with class-compressed, VMEM-resident coefficients.
+
+    The semi-structured geometry makes the premultiplied face blocks
+    massively redundant: congruent children of a macro element share
+    identical blocks (the reference's own scaling argument,
+    /root/reference/ShapFun.F90:1654-1682 — detwei/4^l against nx*2^l
+    cancels), so per macro there are only a handful of distinct
+    (up/down x boundary-configuration) block classes.  The V1 kernel
+    streams the full (3,3,3,C,U) coefficient tensor from HBM every round —
+    the dominant traffic of the V-cycle — and cannot even fit its tiles in
+    VMEM at deep n_split.  Here the coefficients are stored once per CLASS
+    (3,3,3,ncls,U), both the class table and a (ncls,C,U) expansion
+    one-hot stay VMEM-RESIDENT across all rounds and tiles (constant index
+    maps), and each sweep expands them on the fly with VPU
+    multiply-accumulates — trading cheap recompute for the HBM stream.
+    """
+
+    MAX_NCLS = 16
+    # raised Mosaic scoped-VMEM limit for this kernel (default is 16 MB;
+    # the resident coefficient arrays live against it)
+    VMEM_LIMIT = 100 * 1024 * 1024
+
+    @classmethod
+    def _vmem(cls, C: int, U: int, tu: int, itemsize: int) -> int:
+        # per-TU footprint only (state ping-pong + streamed state tiles);
+        # the resident coefficient arrays are checked after compression
+        return (3 * 3 * C * U + 6 * 3 * C * tu) * itemsize
+
+    def __init__(self, op: StencilOperator, interpret: bool = False):
+        super().__init__(op, interpret)
+        U, C = self.U, self.C
+        data = op._data
+
+        # exact per-macro class decomposition of the premultiplied blocks
+        Dinv = op._dinv_np
+        Fp = np.einsum("ucik,ucfkj->ucfij", Dinv, data.face_blocks)
+        flat = np.ascontiguousarray(Fp.reshape(U, C, 27))
+        _, ginv = np.unique(flat.reshape(U * C, 27), axis=0,
+                            return_inverse=True)
+        ginv = ginv.reshape(U, C)
+        cls_of = np.zeros((U, C), np.int64)
+        rep_c = np.zeros((U, self.MAX_NCLS), np.int64)
+        ncls = 0
+        for u in range(U):
+            uniq, first, inv = np.unique(ginv[u], return_index=True,
+                                         return_inverse=True)
+            if len(uniq) > self.MAX_NCLS:
+                raise ValueError(
+                    f"{len(uniq)} coefficient classes in one macro "
+                    f"(> {self.MAX_NCLS}) — mesh too irregular for the "
+                    f"resident kernel")
+            cls_of[u] = inv
+            rep_c[u, :len(uniq)] = first
+            ncls = max(ncls, len(uniq))
+        ncls = max(8 * -(-ncls // 8), 8)        # sublane-pad to 8
+        self.ncls = ncls
+
+        # (3f,3i,3j,ncls,U) representatives + (C,U) int class map (the
+        # expansion one-hot is rebuilt per tile in-kernel from an iota
+        # compare — a full (ncls,C,U) one-hot would eat MBs of the tight
+        # scoped-VMEM budget)
+        Fpc = Fp[np.arange(U)[:, None], rep_c[:, :ncls]]   # (U, ncls, 3,3,3)
+
+        itemsize = self.dtype.itemsize
+        resident = (27 * ncls * U * itemsize + C * U * 4
+                    + 3 * 3 * C * U * itemsize)
+        if resident + self._vmem(C, U, self.TU, itemsize) > int(
+                0.75 * self.VMEM_LIMIT):
+            raise ValueError(
+                f"resident phase kernel needs ~{resident >> 20} MB of "
+                f"resident VMEM (C={C}, U={U}, ncls={ncls})")
+
+        host = dict(
+            Fpc_t=np.asarray(Fpc.transpose(2, 3, 4, 1, 0), self.dtype),
+            cls_t=cls_of.transpose(1, 0).astype(np.int32),   # (C, U)
+        )
+        for key, val in jax.device_put(host).items():
+            setattr(self, key, val)
+
+    # -- kernel --------------------------------------------------------------
+    def _kernel(self, offs_ref, coefs_ref, x0_ref, bp_ref, Fpc_ref, Xp_ref,
+                cls_ref, srel_ref, sc_ref, ioh_ref, coh_ref,
+                xout_ref, zout_ref, xab, bps):
+        C, TU, W, m, nb = self.C, self.TU, self.W, self.m, self.nb
+        ncls = self.ncls
+        r = pl.program_id(0)
+        t = pl.program_id(1)
+        ts = pl.multiple_of(t * TU, TU)
+
+        @pl.when(r == 0)
+        def _load():
+            xab[0, :, :, pl.ds(ts, TU)] = x0_ref[:]
+            bps[:, :, pl.ds(ts, TU)] = bp_ref[:]
+            xout_ref[:] = x0_ref[:]
+            zout_ref[:] = jnp.zeros(zout_ref.shape, zout_ref.dtype)
+
+        @pl.when(r > 0)
+        def _sweep():
+            pread = (r + 1) % 2
+            pwrite = r % 2
+            off_t = pl.multiple_of(offs_ref[t], self.ALIGN)
+            xv = xab[pread, :, :, pl.ds(ts, TU)]             # (3, C, TU)
+            band = xab[pread, :, :, pl.ds(off_t, W)]         # (3, C, W)
+            ioh = ioh_ref[:]
+
+            xg = [[_exact_dot(ioh[f], xv[j]) for j in range(3)]
+                  for f in range(3)]
+
+            sv = None
+            if nb:
+                srel = srel_ref[:]
+                sc = sc_ref[:]
+                band2 = band.reshape(3 * C, W)
+                iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TU), 0)
+                iota_c = jax.lax.broadcasted_iota(jnp.int32, (m, C, TU), 1)
+                parts = [[] for _ in range(3)]
+                for mf in range(3):
+                    mask = (iota_w == srel[mf][None, :]).astype(band2.dtype)
+                    full = _exact_dot(band2, mask).reshape(3, C, TU)
+                    sel = (iota_c == sc[mf][:, None, :]).astype(band2.dtype)
+                    for j in range(3):
+                        parts[j].append((full[j][None] * sel).sum(axis=1))
+                sv = [jnp.concatenate(parts[j], axis=0) for j in range(3)]
+
+            # expand class coefficients on the fly: wg[f][j] holds the
+            # class-sliced state planes, contracted against the (TU,)
+            # per-class coefficient rows — VPU recompute instead of the
+            # (3,3,3,C,TU) HBM stream
+            cls_t = cls_ref[:, pl.ds(ts, TU)]                 # (C, TU) int
+            iota_n = jax.lax.broadcasted_iota(
+                jnp.int32, (ncls, C, TU), 0)
+            clsoh_t = (iota_n == cls_t[None]).astype(xv.dtype)
+            wg = [[clsoh_t * xg[f][j][None] for j in range(3)]
+                  for f in range(3)]                          # (ncls, C, TU)
+
+            bpv = bps[:, :, pl.ds(ts, TU)]
+            coef = coefs_ref[r]
+            outs = []
+            zs = []
+            for i in range(3):
+                acc = None
+                for f in range(3):
+                    for j in range(3):
+                        for k in range(ncls):
+                            fpc = Fpc_ref[f, i, j, k, pl.ds(ts, TU)]
+                            term = fpc[None, :] * wg[f][j][k]
+                            acc = term if acc is None else acc + term
+                if nb:
+                    Xp = Xp_ref[:]
+                    coh = coh_ref[:]
+                    cs = Xp[i, 0] * sv[0]
+                    for j in range(1, 3):
+                        cs = cs + Xp[i, j] * sv[j]
+                    acc = acc + _exact_dot(coh, cs)
+                z = bpv[i] - xv[i] - acc
+                zs.append(z)
+                outs.append(xv[i] + coef * z)
+            xnew = jnp.stack(outs)
+            xab[pwrite, :, :, pl.ds(ts, TU)] = xnew
+            xout_ref[:] = xnew
+            zout_ref[:] = jnp.stack(zs)
+
+    # -- invocation ----------------------------------------------------------
+    def _call(self, n_rounds: int):
+        if n_rounds in self._calls:
+            return self._calls[n_rounds]
+        C, TU, U, nb, m = self.C, self.TU, self.U, self.nb, self.m
+        ncls = self.ncls
+        T = self.T
+        dt = jnp.dtype(self.dtype)
+
+        def im(*block):
+            return lambda r, t, offs, coefs: block
+
+        def im_t(*lead):
+            return lambda r, t, offs, coefs: lead + (t,)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_rounds, T),
+            in_specs=[
+                pl.BlockSpec((3, C, TU), im_t(0, 0),
+                             memory_space=pltpu.VMEM),        # x0
+                pl.BlockSpec((3, C, TU), im_t(0, 0),
+                             memory_space=pltpu.VMEM),        # bp
+                # resident coefficient classes: constant index maps
+                pl.BlockSpec((3, 3, 3, ncls, U), im(0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),        # Fpc
+                pl.BlockSpec((3, 3, max(nb, 1), TU), im_t(0, 0, 0),
+                             memory_space=pltpu.VMEM),        # Xp (per tile)
+                pl.BlockSpec((C, U), im(0, 0),
+                             memory_space=pltpu.VMEM),        # cls map
+                pl.BlockSpec((3, TU), im_t(0,),
+                             memory_space=pltpu.VMEM),        # src_rel
+                pl.BlockSpec((3, max(m, 1), TU), im_t(0, 0),
+                             memory_space=pltpu.VMEM),        # src_c
+                pl.BlockSpec((3, C, C), im(0, 0, 0),
+                             memory_space=pltpu.VMEM),        # intra_oh
+                pl.BlockSpec((C, max(nb, 1)), im(0, 0),
+                             memory_space=pltpu.VMEM),        # cross_oh
+            ],
+            out_specs=[
+                pl.BlockSpec((3, C, TU), im_t(0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, C, TU), im_t(0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 3, C, U), dt),
+                pltpu.VMEM((3, C, U), dt),
+            ],
+        )
+        call = pl.pallas_call(
+            self._kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((3, C, U), dt),
+                       jax.ShapeDtypeStruct((3, C, U), dt)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=self.VMEM_LIMIT),
+            interpret=self.interpret,
+        )
+        self._calls[n_rounds] = call
+        return call
+
+    def phase(self, x_t, bp_t, coefs):
+        n_rounds = len(coefs) + 2
+        coefs_arr = jnp.asarray(
+            np.concatenate([[0.0], np.asarray(coefs, np.float64), [0.0]])
+            .astype(self.dtype))
+        call = self._call(n_rounds)
+        x_new, z = call(jnp.asarray(self.offs), coefs_arr, x_t, bp_t,
+                        self.Fpc_t, self.Xp_g, self.cls_t, self.src_rel,
+                        self.src_c, self.intra_oh, self.cross_oh)
+        return x_new, z
