@@ -128,6 +128,11 @@ class SemiConfig:
     # exchange done in-kernel over an RCM band.  None = auto (TPU only);
     # True forces (interpret mode on CPU); False disables.
     pallas_phase: bool | None = None
+    # which phase kernel: "auto" prefers the resident lattice kernel
+    # (coefficients VMEM-resident, O(C) shift gathers — survives deep
+    # n_split) and falls back to the streaming V1 kernel, then to the XLA
+    # stencil path per level; "resident"/"stream" force one implementation.
+    phase_impl: str = "auto"
     # coarse-level operator construction: "geometric" re-derives each level
     # from rescaled element integrals (reference parity,
     # transport_tri_semi.F90:319-379); "galerkin" forms the variational

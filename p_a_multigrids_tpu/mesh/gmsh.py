@@ -35,9 +35,11 @@ def read_msh(path: str) -> RawGmsh:
         if native.available():
             v, t, r = native.read_msh(path)
             return RawGmsh(vertices=v, triangles=t, region_id=r)
-    except ValueError:
-        raise
-    except Exception:  # pragma: no cover - loader unavailable/stale .so
+    except Exception:
+        # the Python parser defines the contract: a file the stricter C++
+        # scanner rejects (e.g. trailing whitespace on a section tag) must
+        # still load if the Python implementation accepts it.  Only if BOTH
+        # reject does the error propagate (from the Python side, below).
         pass
     return _read_msh_py(path)
 

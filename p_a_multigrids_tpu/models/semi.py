@@ -642,6 +642,21 @@ class SemiSolver:
         self.p = problem
         self.cfg = problem.cfg
         cfg = self.cfg
+        if cfg.coarse_krylov:
+            # inner CG makes the V-cycle a NONLINEAR preconditioner (see
+            # config.SemiConfig.coarse_krylov); outer PCG/BiCGStab assume a
+            # fixed linear operator, and the coarse CG assumes SPD
+            if cfg.krylov:
+                raise ValueError(
+                    "coarse_krylov=True cannot be combined with krylov=True:"
+                    " an inner CG makes the V-cycle preconditioner nonlinear"
+                    " across outer Krylov iterations")
+            if cfg.physics.advection:
+                import warnings
+                warnings.warn(
+                    "coarse_krylov assumes an SPD coarse operator; advective"
+                    " physics may misconverge — prefer stationary coarse"
+                    " sweeps here", stacklevel=2)
         self._gather = structured_gather
         dtype = jnp.dtype(cfg.dtype)
 
@@ -681,13 +696,12 @@ class SemiSolver:
                 Solver.BLOCK_JACOBI, Solver.CHEBYSHEV):
             from ..ops import pallas_stencil as _ps
             interp = jax.default_backend() == "cpu"
-            try:
-                self._phase = [_ps.PhaseOperator(op, interpret=interp)
-                               for op in self._stencil]
-            except ValueError as e:
-                # U not tileable / strip band too wide (mesh not RCM-
-                # ordered): fall back to the XLA stencil path
-                print(f"pallas_phase disabled: {e}")
+            # per-level best kernel (resident lattice -> streaming V1 ->
+            # None = XLA stencil path for that level)
+            self._phase = [_ps.make_phase(op, interpret=interp,
+                                          impl=cfg.phase_impl)
+                           for op in self._stencil]
+            if all(p is None for p in self._phase):
                 self._phase = None
 
         if (self._stencil is None
@@ -954,8 +968,8 @@ class SemiSolver:
         nl = len(self.p.levels)
         with_bc = li == 0 and not hom
         op = self._stencil[li]
-        if self._phase is not None:
-            ph = self._phase[li]
+        ph = self._phase[li] if self._phase is not None else None
+        if ph is not None:
             bp = op._bp(b_t, with_bc)
             if li == nl - 1:
                 if nl > 1 and self._coarse_inv_t is not None:

@@ -98,22 +98,17 @@ class PallasSpMV:
         gcols = cols[:, k0:] // group                      # (E, KG) group ids
         mcols = (cols[:, k0:] % group).astype(np.int32)    # member within
 
-        # per-tile band [off_t, off_t + W) on the GROUP axis
+        # per-tile band [off_t, off_t + W) on the GROUP axis; aligned_band
+        # keeps every offset a true multiple of ALIGN (the pl.multiple_of
+        # promise below) by widening W instead of clamping off the grid
         EG = E // group
         if self.KG:
             lo = gcols.reshape(self.T, -1).min(axis=1)
             hi = gcols.reshape(self.T, -1).max(axis=1)
         else:  # degenerate: diagonal matrix
             lo = hi = np.zeros(self.T, np.int64)
-        offs = (lo // self.ALIGN) * self.ALIGN
-        span = int((hi - offs).max()) + 1
-        W = -(-span // 128) * 128
-        W = min(W, EG)
-        offs = np.minimum(offs, max(EG - W, 0))
-        if (hi - offs).max() >= W:
-            raise ValueError(
-                f"BSR band W={W} cannot cover columns; RCM-order the mesh "
-                f"(mesh.topology.rcm_order) first")
+        from .banding import aligned_band
+        W, offs = aligned_band(lo, hi, EG, self.ALIGN)
         self.W = W
         self.offs = jnp.asarray(offs.astype(np.int32))
 

@@ -112,18 +112,13 @@ class PhaseOperator:
         assert (src_u == src_u[:, :1]).all()
         src_u = src_u[:, 0]                                  # (3, U)
 
-        # per-tile band: [off_t, off_t + W) must cover every source macro
+        # per-tile band: [off_t, off_t + W) must cover every source macro;
+        # aligned_band keeps each offset a true multiple of ALIGN (the
+        # pl.multiple_of promise in the kernel) by widening W as needed
+        from .banding import aligned_band
         lo = src_u.reshape(3, self.T, self.TU).min(axis=(0, 2))
         hi = src_u.reshape(3, self.T, self.TU).max(axis=(0, 2))
-        offs = (lo // self.ALIGN) * self.ALIGN
-        span = int((hi - offs).max()) + 1
-        W = -(-span // 128) * 128
-        W = min(W, U)
-        offs = np.minimum(offs, U - W)
-        if (hi - offs).max() >= W:
-            raise ValueError(
-                f"strip band W={W} cannot cover sources; RCM-order the "
-                f"macro mesh (mesh.topology.rcm_order) first")
+        W, offs = aligned_band(lo, hi, U, self.ALIGN)
         self.W = W
         self.offs = offs.astype(np.int32)                    # (T,)
         self.src_rel = (src_u
@@ -316,143 +311,280 @@ class PhaseOperator:
             for i in range(3)])
 
 
-class PhaseOperatorResident(PhaseOperator):
-    """Phase kernel with class-compressed, VMEM-resident coefficients.
+def _lattice_layout(s: int):
+    """Padded-lattice child layout with CONSTANT neighbor offsets.
 
-    The semi-structured geometry makes the premultiplied face blocks
-    massively redundant: congruent children of a macro element share
-    identical blocks (the reference's own scaling argument,
-    /root/reference/ShapFun.F90:1654-1682 — detwei/4^l against nx*2^l
-    cancels), so per macro there are only a handful of distinct
-    (up/down x boundary-configuration) block classes.  The V1 kernel
-    streams the full (3,3,3,C,U) coefficient tensor from HBM every round —
-    the dominant traffic of the V-cycle — and cannot even fit its tiles in
-    VMEM at deep n_split.  Here the coefficients are stored once per CLASS
-    (3,3,3,ncls,U), both the class table and a (ncls,C,U) expansion
-    one-hot stay VMEM-RESIDENT across all rounds and tiles (constant index
-    maps), and each sweep expands them on the fly with VPU
-    multiply-accumulates — trading cheap recompute for the HBM stream.
+    Children of split depth ``s`` are re-indexed onto two (2**s, 2**s)
+    square grids — plane 0 holds the up triangles at (row-1)*m + q, plane 1
+    the down triangles — so that every intra-macro face neighbor sits at a
+    FIXED sublane offset: up children read (+off_f), down children (-off_f)
+    with off = (m*m - m + 1, m*m, m*m + 1) for child faces (0, 1, 2).
+    (Row-major child order needs 2*(2**s - 1) distinct offsets for face 0 —
+    the row length shrinks per row — which forced the V1 kernel into O(C^2)
+    one-hot matmul gathers; the square lattice restores translation
+    invariance, the same trick as padding a triangular loop nest.)
+
+    Returns (perm (C,) padded index per child, Cp, offsets (3,), up_rows,
+    down_rows boolean (Cp,) masks).
+    """
+    C = 4 ** s
+    m = 2 ** s
+    Cp = 2 * m * m
+    verts, ud = splitting.child_lattice(s)
+    r = np.where(ud > 0, verts[:, 1, 1], verts[:, 2, 1])     # row, 1-based
+    q = verts[:, 2, 0]
+    perm = np.where(ud > 0, 0, m * m) + (r - 1) * m + q
+    assert len(np.unique(perm)) == C
+    offsets = np.asarray([m * m - m + 1, m * m, m * m + 1], np.int64)
+    cn = splitting.child_neighbors(s)
+    for f in range(3):
+        for sign, sel in ((1, ud > 0), (-1, ud < 0)):
+            pair = sel & (cn[:, f] >= 0)
+            if pair.any():
+                d = perm[cn[pair, f]] - perm[pair]
+                assert (d == sign * offsets[f]).all(), (
+                    f"lattice offset broken at s={s} f={f}")
+    up_rows = np.zeros(Cp, bool)
+    dn_rows = np.zeros(Cp, bool)
+    up_rows[perm[ud > 0]] = True
+    dn_rows[perm[ud < 0]] = True
+    return perm.astype(np.int64), Cp, offsets, up_rows, dn_rows
+
+
+class PhaseOperatorResident(PhaseOperator):
+    """Phase kernel with VMEM-resident coefficients on a padded lattice.
+
+    Two structural upgrades over the streaming V1 kernel, aimed at deep
+    n_split (large C) where V1 disables itself:
+
+    1. **Resident coefficients.**  V1 re-streams the (3,3,3,C,U)
+       premultiplied block tensor from HBM every round — the dominant
+       traffic of the whole V-cycle — and its double-buffered tiles stop
+       fitting VMEM at C=1024.  Here every coefficient array is a
+       constant-index-map block: fetched into VMEM once, reused by all
+       rounds and tiles.  Per-round HBM traffic drops to zero (state and
+       partials live in scratch), so the phase runs at VPU/MXU speed.
+
+    2. **Lattice shift gathers.**  V1 gathers the three intra-macro
+       neighbor planes with (C, C) one-hot matmuls — O(C^2) MXU work that
+       dwarfs the O(C) arithmetic at C=1024.  On the padded square lattice
+       (``_lattice_layout``) each child face neighbor sits at one of three
+       FIXED sublane offsets (sign flipped for down triangles), so the
+       gather is 18 static slices of the zero-padded state scratch plus
+       up/down row masks — O(C) VPU work, no MXU, exact.
+
+    The cross-macro strip exchange keeps V1's banded design, but packs the
+    strip rows once per round (one (nbc, Cp) one-hot matmul into scratch at
+    tile 0) so the per-slot selection shrinks from (m, C, TU) masks to
+    (m, nbc, TU).
+
+    Replaces the reference's per-sweep halo exchange + smoother loops
+    (/root/reference/transport_tri_semi.F90:543-722, splitting.F90:
+    1210-1398); the 4^-s/2^s geometry scalings (ShapFun.F90:1654-1682) are
+    what make the per-child coefficient planes well-defined at every depth.
     """
 
-    MAX_NCLS = 16
-    # raised Mosaic scoped-VMEM limit for this kernel (default is 16 MB;
-    # the resident coefficient arrays live against it)
-    VMEM_LIMIT = 100 * 1024 * 1024
-
-    @classmethod
-    def _vmem(cls, C: int, U: int, tu: int, itemsize: int) -> int:
-        # per-TU footprint only (state ping-pong + streamed state tiles);
-        # the resident coefficient arrays are checked after compression
-        return (3 * 3 * C * U + 6 * 3 * C * tu) * itemsize
+    # raised Mosaic scoped-VMEM limit for this kernel (default 16 MB; the
+    # resident coefficient arrays live against it)
+    VMEM_LIMIT = 110 * 1024 * 1024
 
     def __init__(self, op: StencilOperator, interpret: bool = False):
-        super().__init__(op, interpret)
-        U, C = self.U, self.C
+        # deliberately NOT calling super().__init__: the streaming kernel's
+        # table construction (and its VMEM check) does not apply here
+        self.op = op
+        self.interpret = interpret
         data = op._data
+        U, C, nb = op.U, op.C, op.nb
+        self.U, self.C, self.nb = U, C, nb
+        dtype = np.dtype(op.S_t.dtype)
+        self.dtype = dtype
+        s = int(round(np.log(C) / np.log(4))) if C > 1 else 0
+        m = 2 ** s
 
-        # exact per-macro class decomposition of the premultiplied blocks
+        perm, Cp, offsets, up_rows, dn_rows = _lattice_layout(s)
+        self.Cp = Cp
+        self.offs3 = tuple(int(o) for o in offsets)
+        # sublane padding of the state scratch: the shifted slices read
+        # [P + c +- off) and must land in zero padding when out of plane
+        self.P = 8 * -(-int(offsets.max()) // 8)
+        self.Hp = Cp + 2 * self.P
+        self.perm = perm
+
+        # strip packing (same grouping as V1, but rows live at padded ids)
+        mf_of = splitting.CHILD2MACRO_FACE[data.bnd_f]       # (nb,)
+        groups = [np.nonzero(mf_of == mf)[0] for mf in range(3)]
+        m_slots = nb // 3 if nb else 0
+        self.m = m_slots
+        order = (np.concatenate(groups) if nb
+                 else np.zeros((0,), np.int64))
+
+        hs = np.asarray(data.halo_src)                       # (U, nb)
+        if nb:
+            src_c = (hs % C)[:, order].T.reshape(3, m_slots, U)
+            src_u = (hs // C)[:, order].T.reshape(3, m_slots, U)
+            assert (src_u == src_u[:, :1]).all()
+            src_u = src_u[:, 0]                              # (3, U)
+        else:
+            src_c = np.zeros((3, 1, U), np.int64)
+            src_u = np.zeros((3, U), np.int64)
+
+        uniq_c = np.unique(data.bnd_c) if nb else np.zeros((1,), np.int64)
+        nbc = len(uniq_c)
+        self.nbc = 8 * -(-nbc // 8)                          # sublane pad
+        qpos = np.zeros(C, np.int64)
+        qpos[uniq_c] = np.arange(nbc)
+        pack_oh = np.zeros((self.nbc, Cp))
+        pack_oh[np.arange(nbc), perm[uniq_c]] = 1.0
+
+        # macro-axis tiling + aligned strip band (shared helper)
+        from .banding import aligned_band
+        self.TU = self._pick_tu_res(U)
+        self.T = U // self.TU
+        lo = src_u.reshape(3, self.T, self.TU).min(axis=(0, 2))
+        hi = src_u.reshape(3, self.T, self.TU).max(axis=(0, 2))
+        W, offs = aligned_band(lo, hi, U, self.ALIGN)
+        self.W = W
+        self.offs = offs.astype(np.int32)
+        self.src_rel = (src_u - offs[(np.arange(U) // self.TU)][None]
+                        ).astype(np.int32)                   # (3, U)
+
+        # resident premultiplied blocks at padded rows
         Dinv = op._dinv_np
         Fp = np.einsum("ucik,ucfkj->ucfij", Dinv, data.face_blocks)
-        flat = np.ascontiguousarray(Fp.reshape(U, C, 27))
-        _, ginv = np.unique(flat.reshape(U * C, 27), axis=0,
-                            return_inverse=True)
-        ginv = ginv.reshape(U, C)
-        cls_of = np.zeros((U, C), np.int64)
-        rep_c = np.zeros((U, self.MAX_NCLS), np.int64)
-        ncls = 0
-        for u in range(U):
-            uniq, first, inv = np.unique(ginv[u], return_index=True,
-                                         return_inverse=True)
-            if len(uniq) > self.MAX_NCLS:
-                raise ValueError(
-                    f"{len(uniq)} coefficient classes in one macro "
-                    f"(> {self.MAX_NCLS}) — mesh too irregular for the "
-                    f"resident kernel")
-            cls_of[u] = inv
-            rep_c[u, :len(uniq)] = first
-            ncls = max(ncls, len(uniq))
-        ncls = max(8 * -(-ncls // 8), 8)        # sublane-pad to 8
-        self.ncls = ncls
+        Fp_pad = np.zeros((3, 3, 3, Cp, U), dtype)
+        Fp_pad[:, :, :, perm, :] = np.asarray(
+            Fp.transpose(2, 3, 4, 1, 0), dtype)              # f,i,j,c,u
+        Xp = (np.einsum("usik,uskj->usij", Dinv[:, data.bnd_c],
+                        data.cross_blocks) if nb else data.cross_blocks)
+        coh = np.zeros((Cp, max(nb, 1)))
+        if nb:
+            coh[perm[np.asarray(data.bnd_c)[order]], np.arange(nb)] = 1.0
+        masks = np.zeros((2, Cp, 1), dtype)
+        masks[0, up_rows, 0] = 1.0
+        masks[1, dn_rows, 0] = 1.0
 
-        # (3f,3i,3j,ncls,U) representatives + (C,U) int class map (the
-        # expansion one-hot is rebuilt per tile in-kernel from an iota
-        # compare — a full (ncls,C,U) one-hot would eat MBs of the tight
-        # scoped-VMEM budget)
-        Fpc = Fp[np.arange(U)[:, None], rep_c[:, :ncls]]   # (U, ncls, 3,3,3)
-
-        itemsize = self.dtype.itemsize
-        resident = (27 * ncls * U * itemsize + C * U * 4
-                    + 3 * 3 * C * U * itemsize)
-        if resident + self._vmem(C, U, self.TU, itemsize) > int(
-                0.75 * self.VMEM_LIMIT):
+        if self._vmem_resident(self.TU) > int(0.85 * self.VMEM_LIMIT):
             raise ValueError(
-                f"resident phase kernel needs ~{resident >> 20} MB of "
-                f"resident VMEM (C={C}, U={U}, ncls={ncls})")
+                f"resident phase kernel needs ~"
+                f"{self._vmem_resident(self.TU) >> 20} MB VMEM "
+                f"(Cp={Cp}, U={U}) — falling back")
 
         host = dict(
-            Fpc_t=np.asarray(Fpc.transpose(2, 3, 4, 1, 0), self.dtype),
-            cls_t=cls_of.transpose(1, 0).astype(np.int32),   # (C, U)
+            Fp_pad=Fp_pad,
+            Xp_g=(np.asarray(Xp[:, order].transpose(2, 3, 1, 0), dtype)
+                  if nb else np.zeros((3, 3, 1, U), dtype)),
+            pack_oh=np.asarray(pack_oh, dtype),
+            cross_oh_pad=np.asarray(coh, dtype),
+            masks=masks,
+            src_rel=self.src_rel,
+            src_cp=qpos[src_c].astype(np.int32),             # (3, m, U)
         )
         for key, val in jax.device_put(host).items():
             setattr(self, key, val)
+        self.S_t = op.S_t                                    # for mul_self
+        self._calls: dict = {}
+
+    def _pick_tu_res(self, U: int) -> int:
+        cands = [tu for tu in (128, 256, 384, 512) if U % tu == 0]
+        cands += [U] if U not in cands else []
+        cands.sort(key=lambda tu: (tu != 128, tu))
+        for tu in cands:
+            if self._vmem_resident(tu) <= int(0.85 * self.VMEM_LIMIT):
+                return tu
+        return cands[0]           # final check in __init__ raises
+
+    def _vmem_resident(self, tu: int) -> int:
+        """Whole-kernel VMEM footprint: resident blocks + scratch + tiles."""
+        it = self.dtype.itemsize
+        U, Cp, Hp, nb, nbc = self.U, self.Cp, self.Hp, self.nb, self.nbc
+        resident = (27 * Cp * U + 9 * max(nb, 1) * U + nbc * Cp
+                    + Cp * max(nb, 1) + 2 * Cp) * it
+        scratch = (2 * 3 * Hp * U + 3 * Cp * U + 3 * nbc * U) * it
+        tiles = (4 * 3 * Cp * tu) * it * 2
+        return resident + scratch + tiles
 
     # -- kernel --------------------------------------------------------------
-    def _kernel(self, offs_ref, coefs_ref, x0_ref, bp_ref, Fpc_ref, Xp_ref,
-                cls_ref, srel_ref, sc_ref, ioh_ref, coh_ref,
-                xout_ref, zout_ref, xab, bps):
-        C, TU, W, m, nb = self.C, self.TU, self.W, self.m, self.nb
-        ncls = self.ncls
+    def _kernel(self, offs_ref, coefs_ref, x0_ref, bp_ref, Fp_ref, Xp_ref,
+                pack_ref, coh_ref, mask_ref, srel_ref, scp_ref,
+                xout_ref, zout_ref, xab, bps, strip):
+        Cp, P, TU, W, nb, nbc = (self.Cp, self.P, self.TU, self.W, self.nb,
+                                 self.nbc)
+        m = self.m
         r = pl.program_id(0)
         t = pl.program_id(1)
         ts = pl.multiple_of(t * TU, TU)
+        # lane tile slice: T > 1 guarantees TU is a 128-multiple (aligned
+        # dynamic lane offsets); a single tile reads the whole lane axis
+        lsl = slice(None) if self.T == 1 else pl.ds(ts, TU)
 
         @pl.when(r == 0)
         def _load():
-            xab[0, :, :, pl.ds(ts, TU)] = x0_ref[:]
-            bps[:, :, pl.ds(ts, TU)] = bp_ref[:]
+            # zero BOTH ping-pong buffers (padding rows must stay zero: the
+            # shifted neighbor slices rely on reading exact zeros there)
+            xab[:, :, :, lsl] = jnp.zeros(
+                (2, 3, self.Hp, TU), xab.dtype)
+            xab[0, :, P:P + Cp, lsl] = x0_ref[:]
+            bps[:, :, lsl] = bp_ref[:]
             xout_ref[:] = x0_ref[:]
             zout_ref[:] = jnp.zeros(zout_ref.shape, zout_ref.dtype)
 
         @pl.when(r > 0)
         def _sweep():
-            pread = (r + 1) % 2
+            pread = (r + 1) % 2          # round 1 reads buffer 0
             pwrite = r % 2
-            off_t = pl.multiple_of(offs_ref[t], self.ALIGN)
-            xv = xab[pread, :, :, pl.ds(ts, TU)]             # (3, C, TU)
-            band = xab[pread, :, :, pl.ds(off_t, W)]         # (3, C, W)
-            ioh = ioh_ref[:]
 
-            xg = [[_exact_dot(ioh[f], xv[j]) for j in range(3)]
-                  for f in range(3)]
+            # pack the strip children rows once per round (tile 0): one
+            # one-hot matmul over the full macro axis into scratch
+            @pl.when(t == 0)
+            def _pack():
+                if nb:
+                    pack = pack_ref[:]                       # (nbc, Cp)
+                    for j in range(3):
+                        strip[j, :, :] = _exact_dot(
+                            pack, xab[pread, j, P:P + Cp, :])
 
+            xv = xab[pread, :, P:P + Cp, lsl]                # (3, Cp, TU)
+            up = mask_ref[0]                                 # (Cp, 1)
+            dn = mask_ref[1]
+
+            # intra-macro neighbors: static shifted slices of the padded
+            # state — up rows read +off, down rows -off, padding rows and
+            # cross-plane spill read exact zeros (masked anyway)
+            xg = [[None] * 3 for _ in range(3)]
+            for f, off in enumerate(self.offs3):
+                for j in range(3):
+                    sp_ = xab[pread, j, P + off:P + off + Cp, lsl]
+                    sm_ = xab[pread, j, P - off:P - off + Cp, lsl]
+                    xg[f][j] = up * sp_ + dn * sm_
+
+            # cross-macro strips: banded one-hot over the macro axis of the
+            # PACKED strip rows, then per-slot selection over the nbc
+            # packed rows (not all C children)
             sv = None
             if nb:
-                srel = srel_ref[:]
-                sc = sc_ref[:]
-                band2 = band.reshape(3 * C, W)
+                if W == self.U:
+                    band2 = strip[:, :, :].reshape(3 * nbc, W)
+                else:
+                    off_t = pl.multiple_of(offs_ref[t], self.ALIGN)
+                    band2 = strip[:, :, pl.ds(off_t, W)].reshape(
+                        3 * nbc, W)
+                srel = srel_ref[:]                           # (3, TU)
+                scp = scp_ref[:]                             # (3, m, TU)
                 iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TU), 0)
-                iota_c = jax.lax.broadcasted_iota(jnp.int32, (m, C, TU), 1)
+                iota_q = jax.lax.broadcasted_iota(
+                    jnp.int32, (m, nbc, TU), 1)
                 parts = [[] for _ in range(3)]
                 for mf in range(3):
-                    mask = (iota_w == srel[mf][None, :]).astype(band2.dtype)
-                    full = _exact_dot(band2, mask).reshape(3, C, TU)
-                    sel = (iota_c == sc[mf][:, None, :]).astype(band2.dtype)
+                    msk = (iota_w == srel[mf][None, :]).astype(band2.dtype)
+                    full = _exact_dot(band2, msk).reshape(3, nbc, TU)
+                    sel = (iota_q == scp[mf][:, None, :]).astype(
+                        band2.dtype)
                     for j in range(3):
                         parts[j].append((full[j][None] * sel).sum(axis=1))
-                sv = [jnp.concatenate(parts[j], axis=0) for j in range(3)]
+                sv = [jnp.concatenate(parts[j], axis=0)      # (nb, TU)
+                      for j in range(3)]
 
-            # expand class coefficients on the fly: wg[f][j] holds the
-            # class-sliced state planes, contracted against the (TU,)
-            # per-class coefficient rows — VPU recompute instead of the
-            # (3,3,3,C,TU) HBM stream
-            cls_t = cls_ref[:, pl.ds(ts, TU)]                 # (C, TU) int
-            iota_n = jax.lax.broadcasted_iota(
-                jnp.int32, (ncls, C, TU), 0)
-            clsoh_t = (iota_n == cls_t[None]).astype(xv.dtype)
-            wg = [[clsoh_t * xg[f][j][None] for j in range(3)]
-                  for f in range(3)]                          # (ncls, C, TU)
-
-            bpv = bps[:, :, pl.ds(ts, TU)]
+            bpv = bps[:, :, lsl]
             coef = coefs_ref[r]
             outs = []
             zs = []
@@ -460,22 +592,18 @@ class PhaseOperatorResident(PhaseOperator):
                 acc = None
                 for f in range(3):
                     for j in range(3):
-                        for k in range(ncls):
-                            fpc = Fpc_ref[f, i, j, k, pl.ds(ts, TU)]
-                            term = fpc[None, :] * wg[f][j][k]
-                            acc = term if acc is None else acc + term
+                        term = Fp_ref[f, i, j, :, lsl] * xg[f][j]
+                        acc = term if acc is None else acc + term
                 if nb:
-                    Xp = Xp_ref[:]
-                    coh = coh_ref[:]
-                    cs = Xp[i, 0] * sv[0]
+                    cs = Xp_ref[i, 0, :, lsl] * sv[0]
                     for j in range(1, 3):
-                        cs = cs + Xp[i, j] * sv[j]
-                    acc = acc + _exact_dot(coh, cs)
+                        cs = cs + Xp_ref[i, j, :, lsl] * sv[j]
+                    acc = acc + _exact_dot(coh_ref[:], cs)
                 z = bpv[i] - xv[i] - acc
                 zs.append(z)
                 outs.append(xv[i] + coef * z)
             xnew = jnp.stack(outs)
-            xab[pwrite, :, :, pl.ds(ts, TU)] = xnew
+            xab[pwrite, :, P:P + Cp, lsl] = xnew
             xout_ref[:] = xnew
             zout_ref[:] = jnp.stack(zs)
 
@@ -483,8 +611,8 @@ class PhaseOperatorResident(PhaseOperator):
     def _call(self, n_rounds: int):
         if n_rounds in self._calls:
             return self._calls[n_rounds]
-        C, TU, U, nb, m = self.C, self.TU, self.U, self.nb, self.m
-        ncls = self.ncls
+        Cp, TU, U, nb, nbc = self.Cp, self.TU, self.U, self.nb, self.nbc
+        m = max(self.m, 1)
         T = self.T
         dt = jnp.dtype(self.dtype)
 
@@ -498,42 +626,44 @@ class PhaseOperatorResident(PhaseOperator):
             num_scalar_prefetch=2,
             grid=(n_rounds, T),
             in_specs=[
-                pl.BlockSpec((3, C, TU), im_t(0, 0),
+                pl.BlockSpec((3, Cp, TU), im_t(0, 0),
                              memory_space=pltpu.VMEM),        # x0
-                pl.BlockSpec((3, C, TU), im_t(0, 0),
+                pl.BlockSpec((3, Cp, TU), im_t(0, 0),
                              memory_space=pltpu.VMEM),        # bp
-                # resident coefficient classes: constant index maps
-                pl.BlockSpec((3, 3, 3, ncls, U), im(0, 0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),        # Fpc
-                pl.BlockSpec((3, 3, max(nb, 1), TU), im_t(0, 0, 0),
-                             memory_space=pltpu.VMEM),        # Xp (per tile)
-                pl.BlockSpec((C, U), im(0, 0),
-                             memory_space=pltpu.VMEM),        # cls map
+                # everything below: constant index maps -> VMEM-resident,
+                # fetched from HBM exactly once for the whole phase
+                pl.BlockSpec((3, 3, 3, Cp, U), im(0, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),        # Fp_pad
+                pl.BlockSpec((3, 3, max(nb, 1), U), im(0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),        # Xp
+                pl.BlockSpec((nbc, Cp), im(0, 0),
+                             memory_space=pltpu.VMEM),        # pack_oh
+                pl.BlockSpec((Cp, max(nb, 1)), im(0, 0),
+                             memory_space=pltpu.VMEM),        # cross_oh_pad
+                pl.BlockSpec((2, Cp, 1), im(0, 0, 0),
+                             memory_space=pltpu.VMEM),        # up/dn masks
                 pl.BlockSpec((3, TU), im_t(0,),
                              memory_space=pltpu.VMEM),        # src_rel
-                pl.BlockSpec((3, max(m, 1), TU), im_t(0, 0),
-                             memory_space=pltpu.VMEM),        # src_c
-                pl.BlockSpec((3, C, C), im(0, 0, 0),
-                             memory_space=pltpu.VMEM),        # intra_oh
-                pl.BlockSpec((C, max(nb, 1)), im(0, 0),
-                             memory_space=pltpu.VMEM),        # cross_oh
+                pl.BlockSpec((3, max(self.m, 1), TU), im_t(0, 0),
+                             memory_space=pltpu.VMEM),        # src_cp
             ],
             out_specs=[
-                pl.BlockSpec((3, C, TU), im_t(0, 0),
+                pl.BlockSpec((3, Cp, TU), im_t(0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, C, TU), im_t(0, 0),
+                pl.BlockSpec((3, Cp, TU), im_t(0, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, 3, C, U), dt),
-                pltpu.VMEM((3, C, U), dt),
+                pltpu.VMEM((2, 3, self.Hp, U), dt),           # state
+                pltpu.VMEM((3, Cp, U), dt),                   # bp
+                pltpu.VMEM((3, nbc, U), dt),                  # packed strips
             ],
         )
         call = pl.pallas_call(
             self._kernel,
             grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((3, C, U), dt),
-                       jax.ShapeDtypeStruct((3, C, U), dt)],
+            out_shape=[jax.ShapeDtypeStruct((3, Cp, U), dt),
+                       jax.ShapeDtypeStruct((3, Cp, U), dt)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=self.VMEM_LIMIT),
             interpret=self.interpret,
@@ -542,12 +672,44 @@ class PhaseOperatorResident(PhaseOperator):
         return call
 
     def phase(self, x_t, bp_t, coefs):
+        """Same contract as PhaseOperator.phase: (3, C, U) in/out."""
         n_rounds = len(coefs) + 2
         coefs_arr = jnp.asarray(
             np.concatenate([[0.0], np.asarray(coefs, np.float64), [0.0]])
             .astype(self.dtype))
         call = self._call(n_rounds)
-        x_new, z = call(jnp.asarray(self.offs), coefs_arr, x_t, bp_t,
-                        self.Fpc_t, self.Xp_g, self.cls_t, self.src_rel,
-                        self.src_c, self.intra_oh, self.cross_oh)
-        return x_new, z
+        perm = jnp.asarray(self.perm)
+        pad = jnp.zeros((3, self.Cp, self.U), x_t.dtype)
+        x_pad = pad.at[:, perm].set(x_t)
+        bp_pad = pad.at[:, perm].set(bp_t)
+        x_new, z = call(jnp.asarray(self.offs), coefs_arr, x_pad, bp_pad,
+                        self.Fp_pad, self.Xp_g, self.pack_oh,
+                        self.cross_oh_pad, self.masks, self.src_rel,
+                        self.src_cp)
+        return x_new[:, perm], z[:, perm]
+
+
+def make_phase(op: StencilOperator, interpret: bool = False,
+               impl: str = "auto"):
+    """Best available fused phase kernel for one level's operator.
+
+    ``auto`` prefers the resident lattice kernel (zero per-round HBM
+    traffic, O(C) gathers) and falls back to the streaming V1 kernel, then
+    to None (caller uses the XLA stencil path).  ``resident``/``stream``
+    force one implementation (raising its ValueError on infeasibility).
+    """
+    if impl == "resident":
+        return PhaseOperatorResident(op, interpret=interpret)
+    if impl == "stream":
+        return PhaseOperator(op, interpret=interpret)
+    if impl != "auto":
+        raise ValueError(f"unknown phase_impl {impl!r}")
+    try:
+        return PhaseOperatorResident(op, interpret=interpret)
+    except ValueError:
+        pass
+    try:
+        return PhaseOperator(op, interpret=interpret)
+    except ValueError as e:
+        print(f"pallas_phase disabled: {e}")
+        return None

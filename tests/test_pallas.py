@@ -63,6 +63,36 @@ def test_vcycle_pallas_matches_xla(phys_name):
     np.testing.assert_allclose(a, b, rtol=1e-11, atol=1e-12)
 
 
+@pytest.mark.parametrize("impl", ["resident", "stream"])
+@pytest.mark.parametrize("n_split", [2, 3])
+def test_phase_impls_match_stencil(impl, n_split):
+    """Both kernel implementations == the XLA stencil smoother, including
+    at deeper n_split (the resident lattice kernel's target regime)."""
+    phys = Physics(advection=True, u=(0.3, 0.1))
+    solver = _solver(False, phys, n_split=n_split, levels=1)
+    op = solver._stencil[0]
+    ph = ps.make_phase(op, interpret=True, impl=impl)
+    assert ph is not None
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(3, op.C, op.U)))
+    b = jnp.asarray(rng.normal(size=(3, op.C, op.U)))
+    coefs = [0.8] * 3
+    bp = op._bp(b, False)
+    x_ph, z = ph.phase(x, bp, coefs)
+    x_ref = op.smooth_jacobi(x, b, 0.8, 3, False)
+    np.testing.assert_allclose(np.asarray(x_ph), np.asarray(x_ref),
+                               rtol=1e-12, atol=1e-12)
+    r_ref = np.asarray(b - op.apply(x_ref, False))
+    np.testing.assert_allclose(np.asarray(ph.mul_self(z)), r_ref,
+                               rtol=1e-11, atol=1e-11)
+
+
+def test_auto_prefers_resident():
+    solver = _solver(True)
+    assert all(type(p).__name__ == "PhaseOperatorResident"
+               for p in solver._phase)
+
+
 def test_phase_after_rcm_reorder():
     """RCM reorder + pallas path still passes the manufactured gate."""
     mesh = topology.rcm_reorder(topology.from_msh(MESH))
