@@ -36,6 +36,11 @@ def main(argv=None):
     ap.add_argument("--u", type=float, nargs=2, default=(0.0, 0.0))
     ap.add_argument("--vtu", type=str, default=None,
                     help="write the final Tracer field to this .vtu")
+    ap.add_argument("--curves", type=str, default=None, metavar="PREFIX",
+                    help="mode 1: write plain-text curve files "
+                         "<PREFIX> and <PREFIX>_analytical (the "
+                         "reference's DG-rectangular_structured outputs, "
+                         "transport_rect.F90:320-353)")
     ap.add_argument("--vtk-interval", type=int, default=0, metavar="N",
                     help="semi modes: write Tracer/error/analytical VTUs "
                          "every N steps (reference vtk_interval, "
@@ -113,6 +118,13 @@ def main(argv=None):
                    t_range=[float(np.asarray(T).min()),
                             float(np.asarray(T).max())])
         coords, vals = problem.x_all, np.asarray(T)
+        if args.curves:
+            from .io import curves as curves_io
+            curves_io.write_curve(args.curves, coords, vals, two_d=False)
+            ana = transport_rect.analytical_comparison(problem, dt, ntime)
+            curves_io.write_curve(f"{args.curves}_analytical", coords,
+                                  np.asarray(ana), two_d=False)
+            out["curves"] = [args.curves, f"{args.curves}_analytical"]
     elif args.mode in (2, 3, 4, 5, 6):
         from .mesh import splitting
         from .models import transport
@@ -171,6 +183,7 @@ def main(argv=None):
 
             import os
 
+            import jax
             import jax.numpy as jnp
 
             from .io import checkpoint as ckpt
@@ -181,15 +194,36 @@ def main(argv=None):
                 T = jnp.asarray(T_np)
                 out["resumed_from_step"] = start
             hist = []
-            for step in range(start, cfg.ntime):
-                if args.vtk_interval and step % args.vtk_interval == 0:
-                    write_series(T, step)
-                T = solver._step(T)
-                hist.append(float(solver.convergence(T)))
-                if args.checkpoint and (
-                        (step + 1) % args.checkpoint_every == 0
-                        or step + 1 == cfg.ntime):
-                    ckpt.save(args.checkpoint, T, step + 1, cfg)
+            # transposed fast path (mode 9): the state stays in the TPU
+            # layout across steps; layout conversion happens only for
+            # IO events, not per step (SemiSolver.run's strategy)
+            use_t = args.mode == 9 and getattr(solver, "_use_t_cycle",
+                                               False)
+            if use_t:
+                from .ops import fused
+                conv_t = jax.jit(solver.convergence_t)
+                T_t = fused.to_t(T)
+                for step in range(start, cfg.ntime):
+                    if args.vtk_interval and step % args.vtk_interval == 0:
+                        write_series(fused.from_t(T_t), step)
+                    T_t = solver._step_t(T_t)
+                    hist.append(float(conv_t(T_t)))
+                    if args.checkpoint and (
+                            (step + 1) % args.checkpoint_every == 0
+                            or step + 1 == cfg.ntime):
+                        ckpt.save(args.checkpoint, fused.from_t(T_t),
+                                  step + 1, cfg)
+                T = fused.from_t(T_t)
+            else:
+                for step in range(start, cfg.ntime):
+                    if args.vtk_interval and step % args.vtk_interval == 0:
+                        write_series(T, step)
+                    T = solver._step(T)
+                    hist.append(float(solver.convergence(T)))
+                    if args.checkpoint and (
+                            (step + 1) % args.checkpoint_every == 0
+                            or step + 1 == cfg.ntime):
+                        ckpt.save(args.checkpoint, T, step + 1, cfg)
             if args.vtk_interval:
                 write_series(T, cfg.ntime)
             out["residual_history"] = hist

@@ -88,6 +88,22 @@ class SemiConfig:
     # the reference's 15 Gauss-Seidel sweeps / FINDInv Gauss-Jordan
     # (transport_tri_semi.F90:351-359, matrices.F90:1618-1716).
     coarse_direct_max_dof: int = 4096
+    # aggregation coarse levels BELOW the geometric hierarchy
+    # (ops/agg.py): when the geometric coarsest still exceeds the dense
+    # cap, continue coarsening algebraically (groups of ~4 elements, 3
+    # locally-linear DOFs per aggregate, Galerkin P^T A P) down to a dense
+    # direct solve.  The reference never needs this (its macro meshes have
+    # 14-224 triangles); at 8k+ macro elements it is what keeps the
+    # V-cycle contracting instead of stalling on `coarse_sweeps`
+    # stationary sweeps.  Stencil-path (block-Jacobi/Chebyshev) only.
+    coarse_agg: bool = True
+    agg_sweeps: int = 2            # block-Jacobi sweeps per agg level
+    agg_cycles: int = 1            # agg V-cycles per coarse correction
+    # multigrid cycle shape: "v" visits each coarse level once per cycle;
+    # "w" recurses twice — coarse systems are solved much more accurately
+    # for <2x fine-level cost (levels shrink 4x per depth), which keeps the
+    # multi-level contraction at the two-grid rate.
+    cycle_type: str = "v"
     # when the coarsest level exceeds the dense-direct cap, solve it with
     # `coarse_sweeps` iterations of block-Jacobi-preconditioned CG instead
     # of `coarse_sweeps` smoother applications (same cost per iteration,

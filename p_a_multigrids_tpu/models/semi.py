@@ -729,6 +729,19 @@ class SemiSolver:
                 self._binv_t = [jnp.transpose(B, (2, 3, 1, 0))
                                 for B in self._block_inv]
         self._coarse_inv = self._build_coarse_inverse()
+        # aggregation levels below the geometric coarsest (ops/agg): built
+        # only when the coarsest is too large for the dense inverse
+        self._agg = None
+        if (cfg.coarse_agg and self._coarse_inv is None
+                and self._stencil is not None and len(problem.levels) > 1):
+            from ..ops import agg as _agg
+            Lc = problem.levels[-1]
+            coords = splitting.child_coords(problem.grid.macro.X, Lc["s"])
+            h = _agg.build_hierarchy(
+                self._stencil[-1]._data, coords,
+                max_dense_dof=cfg.coarse_direct_max_dof,
+                omega=cfg.omega, sweeps=cfg.agg_sweeps, dtype=dtype)
+            self._agg = h if h.levels else None
         self._coarse_inv_t = None
         if self._coarse_inv is not None and self._stencil is not None:
             # permute the dense inverse into transposed-layout flat order
@@ -963,6 +976,17 @@ class SemiSolver:
             maxiter=self.cfg.coarse_sweeps)
         return x_sol
 
+    def _agg_correct_t(self, li: int, x_t, r_t):
+        """Aggregation coarse-grid correction at the geometric coarsest:
+        restrict the residual into the algebraic hierarchy (ops/agg),
+        V-cycle there, prolong the correction back."""
+        from ..ops import agg as _agg
+        C, U = r_t.shape[1], r_t.shape[2]
+        r_flat = jnp.transpose(r_t, (2, 1, 0)).reshape(U * C, 3)
+        e_flat = _agg.correct(self._agg, r_flat, self.cfg.agg_cycles)
+        e_t = jnp.transpose(e_flat.reshape(U, C, 3), (2, 1, 0))
+        return x_t + e_t
+
     def _vcycle_t(self, li: int, x_t, b_t, hom: bool = False):
         cfg = self.cfg
         nl = len(self.p.levels)
@@ -978,6 +1002,11 @@ class SemiSolver:
                             @ b_t.reshape(-1)).reshape(shape)
                 if cfg.coarse_krylov and nl > 1:
                     return self._coarse_cg_t(li, x_t, b_t)
+                if self._agg is not None and nl > 1:
+                    coefs = self._phase_coefs(li, cfg.n_smooth)
+                    x_t, z_t = ph.phase(x_t, bp, coefs)
+                    x_t = self._agg_correct_t(li, x_t, ph.mul_self(z_t))
+                    return ph.phase(x_t, bp, coefs)[0]
                 sweeps = cfg.coarse_sweeps if nl > 1 else cfg.n_smooth
                 return ph.phase(x_t, bp, self._phase_coefs(li, sweeps))[0]
             coefs = self._phase_coefs(li, cfg.n_smooth)
@@ -985,6 +1014,8 @@ class SemiSolver:
             r_t = ph.mul_self(z_t)                 # r = D z = b - A x
             bc_ = self._restrict_t(r_t, self.p.levels[li + 1]["s"])
             e_t = self._vcycle_t(li + 1, jnp.zeros_like(bc_), bc_, hom)
+            if cfg.cycle_type == "w":
+                e_t = self._vcycle_t(li + 1, e_t, bc_, hom)
             x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
             return ph.phase(x_t, bp, coefs)[0]
         if li == nl - 1:
@@ -993,6 +1024,11 @@ class SemiSolver:
                 return (self._coarse_inv_t @ b_t.reshape(-1)).reshape(shape)
             if cfg.coarse_krylov and nl > 1:
                 return self._coarse_cg_t(li, x_t, b_t)
+            if self._agg is not None and nl > 1:
+                x_t = self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
+                r_t = b_t - op.apply(x_t, with_bc)
+                x_t = self._agg_correct_t(li, x_t, r_t)
+                return self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
             return self._smooth_t(
                 li, x_t, b_t,
                 cfg.coarse_sweeps if nl > 1 else cfg.n_smooth, with_bc)
@@ -1000,6 +1036,8 @@ class SemiSolver:
         r_t = b_t - op.apply(x_t, with_bc)
         bc_ = self._restrict_t(r_t, self.p.levels[li + 1]["s"])
         e_t = self._vcycle_t(li + 1, jnp.zeros_like(bc_), bc_, hom)
+        if cfg.cycle_type == "w":
+            e_t = self._vcycle_t(li + 1, e_t, bc_, hom)
         x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
         return self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
 
@@ -1046,6 +1084,15 @@ class SemiSolver:
                     lambda v: self._apply(li, v, False), b, x,
                     precond=pre, tol=0.0, maxiter=cfg.coarse_sweeps)
                 return x_sol
+            if self._agg is not None and nl > 1:
+                from ..ops import agg as _agg
+                x = self._smooth(li, x, b, cfg.n_smooth, with_bc)
+                r = self.residual(li, x, b, with_bc)
+                U, C = r.shape[:2]
+                e = _agg.correct(self._agg, r.reshape(U * C, 3),
+                                 cfg.agg_cycles)
+                x = x + e.reshape(U, C, 3)
+                return self._smooth(li, x, b, cfg.n_smooth, with_bc)
             return self._smooth(li, x, b,
                                 cfg.coarse_sweeps if nl > 1 else cfg.n_smooth,
                                 with_bc)
@@ -1054,6 +1101,8 @@ class SemiSolver:
         bc_ = self._restrict(r, self.p.levels[li + 1]["s"])
         e = jnp.zeros_like(bc_)
         e = self._vcycle(li + 1, e, bc_, hom)
+        if cfg.cycle_type == "w":
+            e = self._vcycle(li + 1, e, bc_, hom)
         x = x + prolong(e, self.p.levels[li + 1]["s"])
         x = self._smooth(li, x, b, cfg.n_smooth, with_bc)
         return x
@@ -1175,6 +1224,12 @@ class SemiSolver:
         """L-inf norm of the residual (get_convergence, :876-889)."""
         r = self.residual(0, T, self._rhs(T), True)
         return jnp.max(jnp.abs(r))
+
+    def convergence_t(self, T_t) -> jax.Array:
+        """convergence() in transposed layout (no layout round trips) —
+        the CLI's per-step monitor on the fast path."""
+        r_t = self._rhs_t(T_t) - self._stencil[0].apply(T_t, True)
+        return jnp.max(jnp.abs(r_t))
 
 
 def solve(mesh: MacroMesh, cfg: SemiConfig | None = None):

@@ -1,0 +1,444 @@
+"""Aggregation coarse levels below the geometric hierarchy.
+
+The geometric hierarchy bottoms out at split depth 0 — one P1-DG element
+per macro triangle — so on large macro meshes the coarsest level still has
+O(U) elements and the reference's 15 stationary coarse sweeps
+(/root/reference/transport_tri_semi.F90:344-359) leave the low-frequency
+error untouched: the V-cycle stalls at rho ~ 0.86 (BENCH_r02).  The
+reference never hits this because its studies use tiny macro meshes (14-224
+triangles); a framework meant for 8k+ macro elements must coarsen further.
+
+This module continues the hierarchy ALGEBRAICALLY: macro/child elements are
+aggregated in groups of ~4 on the element adjacency graph, each aggregate
+keeps 3 coarse DOFs spanning the locally-linear near-nullspace [1, x, y]
+(classical smoothed-aggregation with nodal blocks — the P1 functions a
+diffusion operator must transfer exactly), and the coarse operator is the
+variational P^T A P.  Levels repeat until the system is small enough for
+the precomputed dense inverse (the FINDInv replacement,
+matrices.F90:1618-1716).  All graph work and triple products run host-side
+with scipy at setup; on device each level is a fixed-degree padded block
+operator (gather + batched 3x3 einsum) — regular TPU work, no dynamic
+sparsity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .stencil import StencilData, inv3x3
+
+
+@dataclasses.dataclass
+class AggLevel:
+    """One aggregation level's device tables.
+
+    The operator and both transfers are padded-fixed-degree block-row
+    operators: row e couples to block-columns ``*_cols[e, :deg(e)]``
+    through dense 3x3 ``*_vals`` blocks (zero-padded) — one gather plus a
+    batched einsum each, no scatters on device.  ``agg``/``Pb`` keep the
+    tentative (unsmoothed) transfer for diagnostics.
+    """
+    cols: jax.Array        # (N, D) int32 operator columns (self-padded)
+    vals: jax.Array        # (N, D, 3, 3)
+    dinv: jax.Array        # (N, 3, 3) inverse diagonal blocks
+    agg: jax.Array         # (Ne_fine,) int32 aggregate of each fine element
+    Pb: jax.Array          # (Ne_fine, 3, 3) tentative prolongation blocks
+    p_cols: jax.Array      # (Ne_fine, Dp) prolongation: fine <- coarse
+    p_vals: jax.Array      # (Ne_fine, Dp, 3, 3)
+    r_cols: jax.Array      # (N, Dr) restriction: coarse <- fine
+    r_vals: jax.Array      # (N, Dr, 3, 3)
+    n: int                 # number of aggregates at this level
+    # spectrally-safe Jacobi weight 4/(3 lam_max(D^-1 A)): a FIXED omega
+    # (the reference's 0.8) diverges whenever lam_max > 2.5, which the
+    # SIP-penalized Galerkin products routinely exceed on irregular
+    # meshes — each "correction" then injects amplified error and the
+    # enclosing V-cycle floors at rho ~ 0.76 no matter how hard the fine
+    # levels smooth (measured on untitled8192)
+    omega: float = 0.8
+
+
+@dataclasses.dataclass
+class AggHierarchy:
+    levels: list[AggLevel]
+    coarse_inv: jax.Array | None    # dense inverse at the bottom (or None)
+    omega: float
+    sweeps: int
+
+
+# -- host-side construction --------------------------------------------------
+
+
+def _csr_from_stencil(data: StencilData):
+    """Block matrix + element adjacency of a stencil level (scipy CSR)."""
+    from scipy import sparse
+
+    U, C = data.self_blocks.shape[:2]
+    E = U * C
+    from ..mesh import splitting
+    s = int(round(np.log(C) / np.log(4))) if C > 1 else 0
+    cn = splitting.child_neighbors(s)
+
+    rows, cols, vals = [], [], []
+    e_all = np.arange(E)
+    rows.append(e_all)
+    cols.append(e_all)
+    vals.append(data.self_blocks.reshape(E, 3, 3))
+    eids = e_all.reshape(U, C)
+    for c in range(C):
+        for f in range(3):
+            if cn[c, f] >= 0:
+                rows.append(eids[:, c])
+                cols.append(eids[:, cn[c, f]])
+                vals.append(data.face_blocks[:, c, f])
+    for slot in range(len(data.bnd_c)):
+        blk = data.cross_blocks[:, slot]
+        keep = np.abs(blk).max(axis=(1, 2)) > 0
+        rows.append(eids[keep, data.bnd_c[slot]])
+        cols.append(np.asarray(data.halo_src)[keep, slot])
+        vals.append(blk[keep])
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    v = np.concatenate(vals, axis=0)                 # (nblk, 3, 3)
+    i_, j_ = np.meshgrid(np.arange(3), np.arange(3), indexing="ij")
+    rs = (3 * r[:, None, None] + i_[None]).ravel()
+    cs = (3 * c[:, None, None] + j_[None]).ravel()
+    A = sparse.coo_matrix((v.ravel(), (rs, cs)),
+                          shape=(3 * E, 3 * E)).tocsr()
+    A.sum_duplicates()
+    return A, E
+
+
+def _element_graph(A, E: int):
+    """Element adjacency (lists) from the 3x3-blocked CSR pattern."""
+    coo = A.tocoo()
+    keep = coo.data != 0
+    be = np.unique(np.stack([coo.row[keep] // 3, coo.col[keep] // 3]),
+                   axis=1)
+    adj = [[] for _ in range(E)]
+    for a, b in be.T:
+        if a != b:
+            adj[a].append(int(b))
+    return adj
+
+
+def _aggregate(adj, E: int, target: int = 4) -> np.ndarray:
+    """Greedy BFS aggregation into groups of ~``target`` elements."""
+    agg = -np.ones(E, np.int64)
+    na = 0
+    for seed in range(E):
+        if agg[seed] >= 0:
+            continue
+        members = [seed]
+        agg[seed] = na
+        frontier = [seed]
+        while frontier and len(members) < target:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if agg[v] < 0 and len(members) < target:
+                        agg[v] = na
+                        members.append(v)
+                        nxt.append(v)
+            frontier = nxt
+        na += 1
+    # attach surviving singletons to a neighboring aggregate (keeps the
+    # coarse blocks well-conditioned)
+    sizes = np.bincount(agg, minlength=na)
+    for e in range(E):
+        if sizes[agg[e]] == 1:
+            for v in adj[e]:
+                if sizes[agg[v]] > 1:
+                    sizes[agg[e]] -= 1
+                    agg[e] = agg[v]
+                    sizes[agg[e]] += 1
+                    break
+    # compact ids
+    uniq, agg = np.unique(agg, return_inverse=True)
+    return agg
+
+
+def _tentative_P(agg: np.ndarray, B: np.ndarray):
+    """Per-aggregate QR of the near-nullspace -> (Pb, B_coarse).
+
+    B (E, 3, 3): near-nullspace values at each element's 3 dofs (last axis
+    = the 3 nullspace vectors).  Returns Pb (E, 3, 3) orthonormal blocks
+    and the coarse-level nullspace B_c (Na, 3, 3).
+    """
+    E = B.shape[0]
+    na = int(agg.max()) + 1
+    Pb = np.zeros((E, 3, 3))
+    Bc = np.zeros((na, 3, 3))
+    order = np.argsort(agg, kind="stable")
+    bounds = np.searchsorted(agg[order], np.arange(na + 1))
+    for a in range(na):
+        rows = order[bounds[a]:bounds[a + 1]]
+        Ba = B[rows].reshape(-1, 3)                  # (ne*3, 3)
+        Q, R = np.linalg.qr(Ba)
+        # fix rank-deficiency (collinear dofs): fall back to identity cols
+        diag = np.abs(np.diag(R))
+        bad = diag < 1e-12 * max(diag.max(), 1e-30)
+        if bad.any():
+            Q = np.where(bad[None, :], 0.0, Q)
+            R = np.where(bad[:, None] | bad[None, :], np.eye(3), R)
+        Pb[rows] = Q.reshape(len(rows), 3, 3)
+        Bc[a] = R
+    return Pb, Bc
+
+
+def _padded_operator(A, E: int, max_deg: int = 18, drop_tol: float = 1e-4):
+    """CSR block matrix -> padded fixed-degree (cols, vals) numpy tables.
+
+    Smoothed-aggregation Galerkin products grow long tails of tiny
+    couplings; padding to the raw max degree makes the device tables (and
+    every gather) pay for the worst row.  Standard SA filtering applies:
+    blocks with norm below ``drop_tol * sqrt(|diag_i| |diag_j|)`` are
+    dropped and each row keeps at most ``max_deg`` strongest couplings
+    (the diagonal always survives) — the levels are approximate coarse
+    solvers, not the fine discretization, so mild filtering trades nothing
+    measurable for a several-fold smaller device footprint.
+    """
+    Ab = A.tobsr(blocksize=(3, 3))
+    indptr, indices, data = Ab.indptr, Ab.indices, Ab.data
+    norms = np.abs(data).max(axis=(1, 2))
+    dnorm = np.ones(E)
+    for e in range(E):
+        sl = slice(indptr[e], indptr[e + 1])
+        own = np.nonzero(indices[sl] == e)[0]
+        if len(own):
+            dnorm[e] = max(norms[sl][own[0]], 1e-300)
+    keep_rows = []
+    for e in range(E):
+        sl = slice(indptr[e], indptr[e + 1])
+        idx = np.arange(sl.start, sl.stop)
+        cols_e = indices[sl]
+        strong = (norms[sl] >= drop_tol * np.sqrt(dnorm[e] * dnorm[cols_e])
+                  ) | (cols_e == e)
+        idx = idx[strong]
+        if len(idx) > max_deg:
+            order = np.argsort(-norms[idx])
+            own = np.nonzero(indices[idx] == e)[0]
+            pick = set(own.tolist())
+            for o in order:
+                if len(pick) >= max_deg:
+                    break
+                pick.add(int(o))
+            idx = idx[sorted(pick)]
+        keep_rows.append(idx)
+    D = max(max(len(k) for k in keep_rows), 1)
+    cols = np.tile(np.arange(E)[:, None], (1, D)).astype(np.int64)
+    vals = np.zeros((E, D, 3, 3))
+    diag = np.zeros((E, 3, 3))
+    for e in range(E):
+        idx = keep_rows[e]
+        cols[e, :len(idx)] = indices[idx]
+        vals[e, :len(idx)] = data[idx]
+        own = np.nonzero(indices[idx] == e)[0]
+        if len(own):
+            diag[e] = data[idx][own[0]]
+    return cols, vals, diag
+
+
+def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
+                    max_dense_dof: int = 4096, omega: float = 0.8,
+                    sweeps: int = 2, dtype=np.float32,
+                    max_levels: int = 12,
+                    smooth_p: bool = True) -> AggHierarchy:
+    """Aggregation hierarchy under one stencil level.
+
+    Args:
+      data: the (geometric) coarsest level's stencil blocks
+      dof_coords: (U, C, 2, 3) node coordinates of that level's children
+      max_dense_dof: stop and invert densely at/below this many DOF
+      smooth_p: Jacobi-smooth the tentative prolongation (classical SA:
+        P = (I - 4/(3 lam_max) D^-1 A) P_tent).  Unsmoothed aggregation
+        contracts at ~0.7/cycle on SIP diffusion; smoothing restores
+        mesh-independent rates at the cost of one extra ring of coarse
+        couplings (still fixed degree).
+
+    Note on the transfer layout: with smooth_p the true prolongation is no
+    longer the block-diagonal (agg, Pb) pair, so each AggLevel additionally
+    stores it as a padded row operator (p_cols/p_vals: fine dof -> coarse
+    aggregates it interpolates from); restriction is its transpose, stored
+    the same way (r_cols/r_vals).
+    """
+    A, E = _csr_from_stencil(data)
+    U, C = data.self_blocks.shape[:2]
+    xy = dof_coords.transpose(0, 1, 3, 2).reshape(E, 3, 2)
+    B = np.concatenate([np.ones((E, 3, 1)), xy], axis=2)   # (E, 3dof, 3ns)
+
+    levels: list[AggLevel] = []
+    from scipy import sparse
+    for _ in range(max_levels):
+        if A.shape[0] <= max_dense_dof:
+            break
+        adj = _element_graph(A, E)
+        agg = _aggregate(adj, E)
+        na = int(agg.max()) + 1
+        if na >= E:              # no coarsening possible
+            break
+        Pb, Bc = _tentative_P(agg, B)
+        # sparse tentative P: rows 3E, cols 3na
+        rows = np.repeat(np.arange(E) * 3, 9) + np.tile(
+            np.repeat(np.arange(3), 3), E)
+        cols_p = np.repeat(agg * 3, 9) + np.tile(np.arange(3), 3 * E)
+        P = sparse.csr_matrix((Pb.reshape(-1), (rows, cols_p)),
+                              shape=(3 * E, 3 * na))
+        if smooth_p:
+            dinv_s = 1.0 / np.maximum(np.abs(A.diagonal()), 1e-300)
+            DA = sparse.diags(dinv_s) @ A
+            lam = _power_lam(DA)
+            P = (P - (4.0 / (3.0 * lam)) * (DA @ P)).tocsr()
+        Ac = (P.T @ A @ P).tocsr()
+        Ac.sum_duplicates()
+        cols, vals, diag = _padded_operator(Ac, na)
+        p_cols, p_vals = _padded_transfer(P, E, na)
+        r_cols, r_vals = _padded_transfer(P.T.tocsr(), na, E)
+        # spectrally-safe smoothing weight for THIS level's operator,
+        # measured on the BLOCK-preconditioned system the smoother runs
+        lam_c = _power_lam_blocks(cols, vals, inv3x3(diag))
+        levels.append(AggLevel(
+            cols=jnp.asarray(cols.astype(np.int32)),
+            vals=jnp.asarray(vals.astype(dtype)),
+            dinv=jnp.asarray(inv3x3(diag).astype(dtype)),
+            agg=jnp.asarray(agg.astype(np.int32)),
+            Pb=jnp.asarray(Pb.astype(dtype)),
+            p_cols=jnp.asarray(p_cols.astype(np.int32)),
+            p_vals=jnp.asarray(p_vals.astype(dtype)),
+            r_cols=jnp.asarray(r_cols.astype(np.int32)),
+            r_vals=jnp.asarray(r_vals.astype(dtype)),
+            n=na,
+            omega=min(float(4.0 / (3.0 * lam_c)), omega)))
+        A, E, B = Ac, na, Bc
+
+    coarse_inv = None
+    if levels and A.shape[0] <= max_dense_dof:
+        coarse_inv = jnp.asarray(
+            np.linalg.inv(A.toarray()).astype(dtype))
+    return AggHierarchy(levels=levels, coarse_inv=coarse_inv,
+                        omega=omega, sweeps=sweeps)
+
+
+def _power_lam_blocks(cols, vals, dinv, iters: int = 15,
+                      seed: int = 0) -> float:
+    """lam_max(Dblock^-1 A) for the padded block operator (numpy)."""
+    N = cols.shape[0]
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(N, 3))
+
+    def apply_(x):
+        y = np.einsum("ndij,ndj->ni", vals, x[cols], optimize=True)
+        return np.einsum("nij,nj->ni", dinv, y, optimize=True)
+
+    for _ in range(iters):
+        w = apply_(v)
+        nw = np.linalg.norm(w)
+        if nw == 0:
+            return 1.0
+        v = w / nw
+    return max(float(np.linalg.norm(apply_(v))) * 1.1, 1e-12)
+
+
+def _power_lam(DA, iters: int = 15, seed: int = 0) -> float:
+    """lam_max(D^-1 A) by power iteration (scipy matvecs)."""
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=DA.shape[0])
+    for _ in range(iters):
+        w = DA @ v
+        nw = np.linalg.norm(w)
+        if nw == 0:
+            return 1.0
+        v = w / nw
+    return max(float(np.linalg.norm(DA @ v)), 1e-12)
+
+
+def _padded_transfer(P, n_rows_blk: int, n_cols_blk: int):
+    """Scalar CSR transfer -> padded block-row tables.
+
+    Returns (cols (N, D) int32 block-column ids, vals (N, D, 3, 3)) such
+    that y[e] = sum_d vals[e, d] @ x[cols[e, d]] reproduces P (or P^T).
+    """
+    from scipy import sparse
+    Pb = P.tobsr(blocksize=(3, 3))
+    indptr, indices, data = Pb.indptr, Pb.indices, Pb.data
+    deg = np.diff(indptr)
+    D = int(deg.max()) if len(deg) else 1
+    cols = np.zeros((n_rows_blk, D), np.int64)
+    vals = np.zeros((n_rows_blk, D, 3, 3))
+    for e in range(n_rows_blk):
+        sl = slice(indptr[e], indptr[e + 1])
+        k = indptr[e + 1] - indptr[e]
+        cols[e, :k] = indices[sl]
+        vals[e, :k] = data[sl]
+    return cols, vals
+
+
+# -- device-side cycle -------------------------------------------------------
+
+
+def _apply(lvl: AggLevel, x):
+    """A x for the padded block operator: gather + batched 3x3 einsum."""
+    xg = x[lvl.cols]                                  # (N, D, 3)
+    return jnp.einsum("ndij,ndj->ni", lvl.vals, xg)
+
+
+def _restrict(lvl: AggLevel, r_fine):
+    rg = r_fine[lvl.r_cols]                           # (N, Dr, 3)
+    return jnp.einsum("ndij,ndj->ni", lvl.r_vals, rg)
+
+
+def _prolong(lvl: AggLevel, e_coarse):
+    eg = e_coarse[lvl.p_cols]                         # (Ne, Dp, 3)
+    return jnp.einsum("ndij,ndj->ni", lvl.p_vals, eg)
+
+
+def _smooth(lvl: AggLevel, x, b, omega, sweeps):
+    # the level's spectral weight, never above the configured omega
+    w = min(lvl.omega, omega)
+    for _ in range(sweeps):
+        r = b - _apply(lvl, x)
+        x = x + w * jnp.einsum("nij,nj->ni", lvl.dinv, r)
+    return x
+
+
+def vcycle(h: AggHierarchy, k: int, b):
+    """Homogeneous-start V-cycle over the aggregation levels.
+
+    ``b`` is the fine residual restricted into level k's DOF layout
+    (N_k, 3); returns the correction in the same layout.
+    """
+    lvl = h.levels[k]
+    x = jnp.zeros_like(b)
+    x = _smooth(lvl, x, b, h.omega, h.sweeps)
+    r = b - _apply(lvl, x)
+    if k + 1 < len(h.levels):
+        nxt = h.levels[k + 1]
+        ec = vcycle(h, k + 1, _restrict(nxt, r))
+        x = x + _prolong(nxt, ec)
+    elif h.coarse_inv is not None:
+        ec = (h.coarse_inv @ r.reshape(-1)).reshape(r.shape)
+        x = x + ec
+    x = _smooth(lvl, x, b, h.omega, h.sweeps)
+    return x
+
+
+def correct(h: AggHierarchy, r_fine, ncycles: int = 1):
+    """Correction for the GEOMETRIC coarsest level from its residual.
+
+    r_fine (E, 3) -> correction (E, 3): restrict into the first aggregation
+    level, run ``ncycles`` V-cycles there, prolong back.  A fixed linear
+    operator (no inner Krylov), so the enclosing V-cycle stays a valid
+    preconditioner.
+    """
+    lvl0 = h.levels[0]
+    rc = _restrict(lvl0, r_fine)
+    e = vcycle(h, 0, rc)
+    for _ in range(ncycles - 1):
+        # additional cycles iterate on the level-0 aggregation system
+        r = rc - _apply(lvl0, e)
+        e = e + vcycle(h, 0, r)
+    return _prolong(lvl0, e)

@@ -16,26 +16,27 @@ import numpy as np
 
 
 def aligned_band(lo: np.ndarray, hi: np.ndarray, total: int,
-                 align: int) -> tuple[int, np.ndarray]:
+                 align: int, wstep: int = 128) -> tuple[int, np.ndarray]:
     """Width + per-tile aligned offsets covering ``[lo_t, hi_t]`` per tile.
 
     Args:
       lo, hi: (T,) inclusive index ranges each tile must see
       total:  axis length (offsets satisfy ``off + W <= max(total, W)``)
-      align:  required offset alignment (also the W granularity)
+      align:  required offset alignment
+      wstep:  W granularity (the lane tile: 128)
 
     Returns:
       (W, offs) with ``offs % align == 0`` everywhere, ``offs >= 0``,
       ``offs <= lo`` and ``offs + W > hi`` elementwise.  When the axis is
-      shorter than one aligned window, W covers the whole axis (offs = 0).
+      shorter than one window, W covers the whole axis (offs = 0).
     """
     lo = np.asarray(lo, np.int64)
     hi = np.asarray(hi, np.int64)
     if hi.size == 0 or int(hi.max()) < 0:
-        return min(align, max(total, 1)), np.zeros_like(lo, np.int64)
+        return min(wstep, max(total, 1)), np.zeros_like(lo, np.int64)
     offs = (lo // align) * align
     span = int((hi - offs).max()) + 1
-    W = -(-span // align) * align
+    W = -(-span // wstep) * wstep
     if W >= total:
         return total, np.zeros_like(offs)
     # pull offsets back (in aligned steps) so the window stays inside the
@@ -45,6 +46,6 @@ def aligned_band(lo: np.ndarray, hi: np.ndarray, total: int,
         eff = np.minimum(offs, max_off)
         if int((hi - eff).max()) < W:
             return W, eff
-        W += align
+        W += wstep
         if W >= total:
             return total, np.zeros_like(offs)

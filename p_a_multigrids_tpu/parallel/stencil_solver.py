@@ -72,6 +72,10 @@ def _level_tables(op, U_loc: int, dtype):
     Fp = np.einsum("ucik,ucfkj->ucfij", Dinv, data.face_blocks)
     Xp = (np.einsum("usik,uskj->usij", Dinv[:, data.bnd_c],
                     data.cross_blocks) if nb else data.cross_blocks)
+    cn = splitting.child_neighbors(
+        int(round(np.log(C) / np.log(4))) if C > 1 else 0)
+    intra_rows = np.where(cn >= 0, cn,
+                          np.arange(C)[:, None]).T.astype(np.int32)
     tabs = dict(
         S_t=t(data.self_blocks.transpose(2, 3, 1, 0)),       # (3,3,C,U)
         F_t=t(data.face_blocks.transpose(2, 3, 4, 1, 0)),
@@ -81,6 +85,7 @@ def _level_tables(op, U_loc: int, dtype):
         Dinv_t=t(Dinv.transpose(2, 3, 1, 0)),
         c_aff_t=t(data.c_aff.transpose(2, 1, 0)),            # (3, C, U)
         intra_oh=t(data.intra_onehot),                       # (3, C, C)
+        intra_rows=intra_rows,                               # (3f, C)
         cross_oh=t(data.cross_onehot.sum(axis=0)),           # (C, nb)
         pack_rows=uniq_c.astype(np.int32),                   # (nbc,)
         strip_sel=t(sel),                                    # (3, U, m, nbc)
@@ -92,7 +97,8 @@ def _level_tables(op, U_loc: int, dtype):
         X_t=P(None, None, None, _AXIS),
         Fp_t=P(None, None, None, None, _AXIS),
         Xp_t=P(None, None, None, _AXIS), Dinv_t=P(None, None, None, _AXIS),
-        c_aff_t=P(None, None, _AXIS), intra_oh=P(), cross_oh=P(),
+        c_aff_t=P(None, None, _AXIS), intra_oh=P(), intra_rows=P(),
+        cross_oh=P(),
         pack_rows=P(), strip_sel=P(None, _AXIS), inv_perm=P(),
         win_src=P(None, _AXIS),
     )
@@ -123,7 +129,17 @@ def _strip(tab, meta, x_t, W: int, n_dev: int):
 
 
 def _planes(tab, x_t, F_t, X_t, sv):
-    xg = jnp.einsum("fcd,jdu->fjcu", tab["intra_oh"], x_t)
+    C = x_t.shape[1]
+    if C > 64:
+        # static row gather, O(C) — the (C, C) one-hot einsum is O(C^2)
+        # FLOPs and constant-folding pain at deep n_split (same switch as
+        # ops.stencil.StencilOperator._apply_planes)
+        rows = tab["intra_rows"]                     # (3f, C) int32
+        xg = x_t[:, rows.reshape(-1), :].reshape(
+            3, 3, C, x_t.shape[-1])                  # (j, f, C, U_loc)
+        xg = jnp.swapaxes(xg, 0, 1)                  # (f, j, C, U_loc)
+    else:
+        xg = jnp.einsum("fcd,jdu->fjcu", tab["intra_oh"], x_t)
     out = []
     for i in range(3):
         acc = None
@@ -175,7 +191,11 @@ class DistributedStencilSolver:
         self.U = mesh.num_elements
         self.U_loc = self.U // D
 
-        cfg = dataclasses.replace(cfg, pallas_phase=False)
+        # the sharded cycle runs the XLA stencil path (the fused Pallas
+        # kernel assumes whole-mesh VMEM residency) and handles its own
+        # coarse solve (replicated dense inverse / distributed CG) — no
+        # host-side agg hierarchy inside shard_map yet
+        cfg = dataclasses.replace(cfg, pallas_phase=False, coarse_agg=False)
         self.cfg = cfg
         self.p = semi.build_problem(mesh, cfg)
         self.serial = semi.SemiSolver(self.p)
@@ -227,10 +247,26 @@ class DistributedStencilSolver:
         b = b_t - tab["c_aff_t"] if with_bc else b_t
         return _mul33(tab["Dinv_t"], b)
 
-    def _vcycle(self, tabs, li, x_t, b_t):
+    @staticmethod
+    def _pdot(a, b):
+        """Globally-reduced inner product (the psum dot for shard_map)."""
+        return jax.lax.psum(jnp.vdot(a.reshape(-1), b.reshape(-1)), _AXIS)
+
+    def _coarse_cg(self, tab, meta, x_t, b_t):
+        """coarse_krylov inside shard_map: block-Jacobi PCG with psum
+        dots — the distributed mirror of SemiSolver._coarse_cg_t."""
+        from ..ops import krylov
+        W, D = self.W, self.D
+        x_sol, _, _ = krylov.pcg(
+            lambda v: _apply(tab, meta, v, False, W, D), b_t, x_t,
+            precond=lambda r: _mul33(tab["Dinv_t"], r), tol=0.0,
+            maxiter=self.cfg.coarse_sweeps, dot=self._pdot)
+        return x_sol
+
+    def _vcycle(self, tabs, li, x_t, b_t, hom: bool = False):
         cfg = self.cfg
         nl = len(tabs)
-        with_bc = li == 0
+        with_bc = li == 0 and not hom
         tab, meta = tabs[li], self.meta[li]
         W, D = self.W, self.D
         bp = self._bp(tab, b_t, with_bc)
@@ -241,12 +277,16 @@ class DistributedStencilSolver:
                 x_full = (tab["coarse_inv"] @ flat).reshape(
                     3, meta["C"], D, self.U_loc)
                 return x_full[:, :, jax.lax.axis_index(_AXIS)]
+            if cfg.coarse_krylov and nl > 1:
+                return self._coarse_cg(tab, meta, x_t, b_t)
             return _sweep(tab, meta, x_t, bp, self._coefs_coarse, W, D)
         coefs = self._coefs[li]
         x_t = _sweep(tab, meta, x_t, bp, coefs, W, D)
         r_t = b_t - _apply(tab, meta, x_t, with_bc, W, D)
         bc_ = semi.restrict_t(r_t, self.p.levels[li + 1]["s"])
-        e_t = self._vcycle(tabs, li + 1, jnp.zeros_like(bc_), bc_)
+        e_t = self._vcycle(tabs, li + 1, jnp.zeros_like(bc_), bc_, hom)
+        if cfg.cycle_type == "w":
+            e_t = self._vcycle(tabs, li + 1, e_t, bc_, hom)
         x_t = x_t + semi.prolong_t(e_t, self.p.levels[li + 1]["s"])
         return _sweep(tab, meta, x_t, bp, coefs, W, D)
 
@@ -264,6 +304,24 @@ class DistributedStencilSolver:
                 Ax = _apply(tab0, meta0, T_t, True, self.W, self.D)
                 spat = (Ax - _mul33(tab0["M_t"], T_t) / cfg.dt) / cfg.theta
                 b_t = b_t - (1.0 - cfg.theta) * spat
+
+            if cfg.krylov:
+                # V-cycle-preconditioned Krylov with psum-reduced dots —
+                # the distributed mirror of SemiSolver._solve_system_t
+                from ..ops import krylov
+                A_lin = lambda x: _apply(tab0, meta0, x, False,
+                                         self.W, self.D)
+                c = _apply(tab0, meta0, jnp.zeros_like(b_t), True,
+                           self.W, self.D)
+                precond = lambda r: self._vcycle(
+                    tabs, 0, jnp.zeros_like(r), r, hom=True)
+                method = (krylov.pcg if not cfg.physics.advection
+                          else krylov.bicgstab)
+                T_new, _, _ = method(A_lin, b_t - c, T_t, precond=precond,
+                                     tol=cfg.krylov_tol,
+                                     maxiter=cfg.krylov_maxiter,
+                                     dot=self._pdot)
+                return T_new
 
             def cycle(x, _):
                 return self._vcycle(tabs, 0, x, b_t), None

@@ -119,3 +119,61 @@ def test_stencil_solver_gate():
     dist = DistributedStencilSolver(mesh, cfg, devices=jax.devices()[:8])
     out = dist.run()
     assert dist.error(out).mean() < 0.01
+
+
+def _stencil_parity(cfg, mesh=None, n_dev=8, atol=1e-12, rtol=1e-11):
+    """Run DistributedStencilSolver vs its serial twin; assert bit-match."""
+    import jax
+    import jax.numpy as jnp
+    from p_a_multigrids_tpu.ops import fused
+    from p_a_multigrids_tpu.parallel.stencil_solver import (
+        DistributedStencilSolver)
+
+    if len(jax.devices()) < n_dev:
+        pytest.skip(f"needs {n_dev} devices")
+    mesh = mesh if mesh is not None else structured.tri_mesh(
+        16, 4, 0.25, 0.25)
+    dist = DistributedStencilSolver(mesh, cfg,
+                                    devices=jax.devices()[:n_dev])
+    serial = dist.serial
+    T0_t = dist.initial_condition()
+    out_d = dist.run(T0_t)
+    T = fused.from_t(jnp.asarray(T0_t))
+    for _ in range(cfg.ntime):
+        T = serial._step(T)
+    np.testing.assert_allclose(dist.to_std(out_d),
+                               np.asarray(T)[: dist.n_active],
+                               rtol=rtol, atol=atol)
+
+
+def test_stencil_solver_krylov_matches_serial():
+    """Distributed V-cycle-preconditioned PCG (psum dots) == serial Krylov
+    path: the cfg.krylov flag is honored inside shard_map."""
+    cfg = SemiConfig(n_split=2, multi_levels=2, dt=0.5, ntime=1,
+                     krylov=True, krylov_tol=1e-10, dtype="float64")
+    # iteration counts can differ by one due to reduction order; compare
+    # at the Krylov tolerance, not bit-exactness
+    _stencil_parity(cfg, atol=1e-8, rtol=1e-8)
+
+
+def test_stencil_solver_coarse_krylov_matches_serial():
+    """cfg.coarse_krylov drives the distributed coarsest-level CG."""
+    cfg = SemiConfig(n_split=2, multi_levels=2, dt=0.5, ntime=1,
+                     n_multigrid=2, coarse_krylov=True,
+                     coarse_direct_max_dof=0, dtype="float64")
+    _stencil_parity(cfg, atol=1e-9, rtol=1e-9)
+
+
+def test_stencil_solver_wcycle_matches_serial():
+    cfg = SemiConfig(n_split=2, multi_levels=2, dt=0.5, ntime=1,
+                     n_multigrid=2, cycle_type="w", dtype="float64")
+    _stencil_parity(cfg)
+
+
+def test_stencil_solver_deep_split_rowgather():
+    """n_split=4 (C=256) exercises the O(C) row-gather in the distributed
+    _planes (the one-hot einsum path is O(C^2) there)."""
+    cfg = SemiConfig(n_split=4, multi_levels=2, dt=0.5, ntime=1,
+                     n_multigrid=1, dtype="float64")
+    _stencil_parity(cfg, mesh=structured.tri_mesh(16, 2, 0.25, 0.25),
+                    n_dev=4)

@@ -96,7 +96,8 @@ def test_coarse_krylov_accelerates(mesh):
     res = {}
     base = SemiConfig(n_split=3, multi_levels=2, dt=1e6, ntime=1,
                       n_multigrid=1, dtype="float64",
-                      coarse_direct_max_dof=0)   # force the iterative path
+                      coarse_direct_max_dof=0,   # force the iterative path
+                      coarse_agg=False)          # compare CG vs stationary
     for ck in (False, True):
         cfg = dataclasses.replace(base, coarse_krylov=ck)
         s = msemi.SemiSolver(msemi.build_problem(mesh, cfg))

@@ -33,12 +33,27 @@ def test_steady_mixed_bc_exact():
     assert np.allclose(sampled, 1.0 - xs / 2, atol=1e-6)
 
 
-def test_breakthrough_erfc_gate():
+@pytest.mark.parametrize("fixture", ["generated_strip", "zoo"])
+def test_breakthrough_erfc_gate(fixture, ref_meshdir):
     """The reference's erfc advection-diffusion validation at L1 < 0.01
-    (Check_thermal_analytical_validation.py gate, mode-6 capability)."""
-    mesh = _strip(60, 3)
-    setup = transport.BreakthroughSetup()
-    fns = transport.breakthrough_fns(setup, x_len=2.0)
+    (Check_thermal_analytical_validation.py gate, mode-6 capability).
+
+    Runs on both a generated strip AND the reference's own fixture
+    geometry (P_structured_mesh.msh — the strip mesh class its validation
+    scripts probe at y=0.0333 with 202 points,
+    Check_thermal_analytical_validation.py:63-73).
+    """
+    if fixture == "generated_strip":
+        mesh, x_len = _strip(60, 3), 2.0
+        setup = transport.BreakthroughSetup()
+    else:
+        mesh = topology.from_msh(f"{ref_meshdir}/P_structured_mesh.msh")
+        x_len = 1.0
+        # shorter horizon: on the zoo's [0, 1] column the t=0.1 front
+        # reaches the Dirichlet outlet, which the semi-infinite erfc
+        # solution does not model
+        setup = transport.BreakthroughSetup(t_end=0.02)
+    fns = transport.breakthrough_fns(setup, x_len=x_len)
     ntime = 40
     cfg = TransportConfig(ntime=ntime, dt=setup.t_end / ntime, u=(1.0, 0.0),
                           k=1.0, diffusion=True, implicit=True, theta=0.5,
