@@ -58,7 +58,14 @@ class Physics:
     # approximates the diffusive flux); SIP restores optimal convergence.
     # False reproduces the reference's penalty-only scheme.
     sip_consistency: bool = True
-    penalty_factor: float = 4.0    # SIP eta (reference effectively 1.0)
+    # SIP eta (reference effectively 1.0).  3.0 = the P1 trace-constant
+    # bound with the |F|/|E| face scaling — coercive with margin (eta ~ 1
+    # is where coercivity is lost on the zoo meshes) and measurably easier
+    # on the multigrid: over-penalization stiffens the jump modes the
+    # smoother must damp (two-grid rho 0.27 @ eta 2.5 vs 0.51 @ eta 4 on
+    # the strip family) while leaving the discretization error unchanged
+    # (L1 gates identical to 3 digits across eta in [2.5, 4]).
+    penalty_factor: float = 3.0
     k: float = 1.0                 # diffusion coefficient (:136)
     u: tuple[float, float] = (0.0, 0.0)
 
@@ -99,6 +106,21 @@ class SemiConfig:
     coarse_agg: bool = True
     agg_sweeps: int = 2            # block-Jacobi sweeps per agg level
     agg_cycles: int = 1            # agg V-cycles per coarse correction
+    # strength-of-connection threshold for the aggregation (0 = aggregate
+    # on the raw adjacency).  Dropping weak couplings before aggregating
+    # semicoarsens along anisotropy — on stretched-element meshes
+    # (untitled8192: 3:1 triangles) it is the difference between a
+    # correction that works (rho ~ 0.24) and one that stalls (~0.7);
+    # block smoothers cannot damp weak-direction oscillation and no
+    # isotropically-coarsened space can represent it.
+    agg_strength: float = 0.4
+    # FULL algebraic mode: the finest level is corrected directly by the
+    # strength-filtered smoothed-aggregation hierarchy (geometric coarse
+    # levels are bypassed).  This is the robust choice on anisotropic
+    # meshes, where the geometric two-grid pair caps at rho ~ 0.6 no
+    # matter how hard it smooths (measured, untitled8192 with an EXACT
+    # coarse solve); on uniform meshes the geometric hierarchy is cheaper.
+    amg: bool = False
     # multigrid cycle shape: "v" visits each coarse level once per cycle;
     # "w" recurses twice — coarse systems are solved much more accurately
     # for <2x fine-level cost (levels shrink 4x per depth), which keeps the

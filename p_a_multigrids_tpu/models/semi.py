@@ -729,19 +729,33 @@ class SemiSolver:
                 self._binv_t = [jnp.transpose(B, (2, 3, 1, 0))
                                 for B in self._block_inv]
         self._coarse_inv = self._build_coarse_inverse()
-        # aggregation levels below the geometric coarsest (ops/agg): built
-        # only when the coarsest is too large for the dense inverse
+        # aggregation hierarchy (ops/agg): in `amg` mode it corrects the
+        # FINEST level directly (geometric levels bypassed — the robust
+        # choice on anisotropic meshes); otherwise it continues below the
+        # geometric coarsest when that is too large for the dense inverse
         self._agg = None
-        if (cfg.coarse_agg and self._coarse_inv is None
-                and self._stencil is not None and len(problem.levels) > 1):
+        self._agg_li = None
+        if self._stencil is not None:
             from ..ops import agg as _agg
-            Lc = problem.levels[-1]
-            coords = splitting.child_coords(problem.grid.macro.X, Lc["s"])
-            h = _agg.build_hierarchy(
-                self._stencil[-1]._data, coords,
-                max_dense_dof=cfg.coarse_direct_max_dof,
-                omega=cfg.omega, sweeps=cfg.agg_sweeps, dtype=dtype)
-            self._agg = h if h.levels else None
+            li = None
+            if cfg.amg:
+                li = 0
+            elif (cfg.coarse_agg and not cfg.coarse_krylov
+                    and self._coarse_inv is None
+                    and len(problem.levels) > 1):
+                li = len(problem.levels) - 1
+            if li is not None:
+                Lc = problem.levels[li]
+                coords = splitting.child_coords(problem.grid.macro.X,
+                                                Lc["s"])
+                h = _agg.build_hierarchy(
+                    self._stencil[li]._data, coords,
+                    max_dense_dof=cfg.coarse_direct_max_dof,
+                    omega=cfg.omega, sweeps=cfg.agg_sweeps, dtype=dtype,
+                    strength=cfg.agg_strength, always=cfg.amg)
+                if h.levels:
+                    self._agg = h
+                    self._agg_li = li
         self._coarse_inv_t = None
         if self._coarse_inv is not None and self._stencil is not None:
             # permute the dense inverse into transposed-layout flat order
@@ -995,6 +1009,13 @@ class SemiSolver:
         ph = self._phase[li] if self._phase is not None else None
         if ph is not None:
             bp = op._bp(b_t, with_bc)
+            if self._agg is not None and li == self._agg_li:
+                # algebraic correction (fine level in amg mode, else the
+                # geometric coarsest): smooth - SA-correct - smooth
+                coefs = self._phase_coefs(li, cfg.n_smooth)
+                x_t, z_t = ph.phase(x_t, bp, coefs)
+                x_t = self._agg_correct_t(li, x_t, ph.mul_self(z_t))
+                return ph.phase(x_t, bp, coefs)[0]
             if li == nl - 1:
                 if nl > 1 and self._coarse_inv_t is not None:
                     shape = x_t.shape
@@ -1002,11 +1023,6 @@ class SemiSolver:
                             @ b_t.reshape(-1)).reshape(shape)
                 if cfg.coarse_krylov and nl > 1:
                     return self._coarse_cg_t(li, x_t, b_t)
-                if self._agg is not None and nl > 1:
-                    coefs = self._phase_coefs(li, cfg.n_smooth)
-                    x_t, z_t = ph.phase(x_t, bp, coefs)
-                    x_t = self._agg_correct_t(li, x_t, ph.mul_self(z_t))
-                    return ph.phase(x_t, bp, coefs)[0]
                 sweeps = cfg.coarse_sweeps if nl > 1 else cfg.n_smooth
                 return ph.phase(x_t, bp, self._phase_coefs(li, sweeps))[0]
             coefs = self._phase_coefs(li, cfg.n_smooth)
@@ -1018,17 +1034,17 @@ class SemiSolver:
                 e_t = self._vcycle_t(li + 1, e_t, bc_, hom)
             x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
             return ph.phase(x_t, bp, coefs)[0]
+        if self._agg is not None and li == self._agg_li:
+            x_t = self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
+            r_t = b_t - op.apply(x_t, with_bc)
+            x_t = self._agg_correct_t(li, x_t, r_t)
+            return self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
         if li == nl - 1:
             if nl > 1 and self._coarse_inv_t is not None:
                 shape = x_t.shape
                 return (self._coarse_inv_t @ b_t.reshape(-1)).reshape(shape)
             if cfg.coarse_krylov and nl > 1:
                 return self._coarse_cg_t(li, x_t, b_t)
-            if self._agg is not None and nl > 1:
-                x_t = self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
-                r_t = b_t - op.apply(x_t, with_bc)
-                x_t = self._agg_correct_t(li, x_t, r_t)
-                return self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
             return self._smooth_t(
                 li, x_t, b_t,
                 cfg.coarse_sweeps if nl > 1 else cfg.n_smooth, with_bc)
@@ -1071,6 +1087,15 @@ class SemiSolver:
         if self._use_t_cycle:
             f = self._fmod
             return f.from_t(self._vcycle_t(li, f.to_t(x), f.to_t(b), hom))
+        if self._agg is not None and li == self._agg_li:
+            from ..ops import agg as _agg
+            x = self._smooth(li, x, b, cfg.n_smooth, with_bc)
+            r = self.residual(li, x, b, with_bc)
+            U, C = r.shape[:2]
+            e = _agg.correct(self._agg, r.reshape(U * C, 3),
+                             cfg.agg_cycles)
+            x = x + e.reshape(U, C, 3)
+            return self._smooth(li, x, b, cfg.n_smooth, with_bc)
         if li == nl - 1:
             if nl > 1 and self._coarse_inv is not None:
                 shape = x.shape
@@ -1084,15 +1109,6 @@ class SemiSolver:
                     lambda v: self._apply(li, v, False), b, x,
                     precond=pre, tol=0.0, maxiter=cfg.coarse_sweeps)
                 return x_sol
-            if self._agg is not None and nl > 1:
-                from ..ops import agg as _agg
-                x = self._smooth(li, x, b, cfg.n_smooth, with_bc)
-                r = self.residual(li, x, b, with_bc)
-                U, C = r.shape[:2]
-                e = _agg.correct(self._agg, r.reshape(U * C, 3),
-                                 cfg.agg_cycles)
-                x = x + e.reshape(U, C, 3)
-                return self._smooth(li, x, b, cfg.n_smooth, with_bc)
             return self._smooth(li, x, b,
                                 cfg.coarse_sweeps if nl > 1 else cfg.n_smooth,
                                 with_bc)

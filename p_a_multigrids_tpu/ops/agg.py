@@ -113,16 +113,31 @@ def _csr_from_stencil(data: StencilData):
     return A, E
 
 
-def _element_graph(A, E: int):
-    """Element adjacency (lists) from the 3x3-blocked CSR pattern."""
-    coo = A.tocoo()
-    keep = coo.data != 0
-    be = np.unique(np.stack([coo.row[keep] // 3, coo.col[keep] // 3]),
-                   axis=1)
+def _element_graph(A, E: int, strength: float = 0.0):
+    """Element adjacency (lists) from the 3x3-blocked CSR pattern.
+
+    With ``strength`` > 0, only STRONG connections survive: the block
+    coupling norm must reach ``strength`` times the row's strongest
+    off-diagonal coupling.  Aggregating along strong connections only is
+    the classical AMG answer to anisotropy (semicoarsening): on stretched
+    elements the weak-direction couplings are dropped, so aggregates line
+    up with the direction block smoothers cannot damp.
+    """
+    Ab = A.tobsr(blocksize=(3, 3))
+    indptr, indices, data = Ab.indptr, Ab.indices, Ab.data
+    norms = np.abs(data).max(axis=(1, 2))
     adj = [[] for _ in range(E)]
-    for a, b in be.T:
-        if a != b:
-            adj[a].append(int(b))
+    for e in range(E):
+        sl = slice(indptr[e], indptr[e + 1])
+        cols_e = indices[sl]
+        ns = norms[sl]
+        off = cols_e != e
+        if not off.any():
+            continue
+        cut = strength * ns[off].max()
+        for c, nv in zip(cols_e[off], ns[off]):
+            if nv >= cut:
+                adj[e].append(int(c))
     return adj
 
 
@@ -247,7 +262,9 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
                     max_dense_dof: int = 4096, omega: float = 0.8,
                     sweeps: int = 2, dtype=np.float32,
                     max_levels: int = 12,
-                    smooth_p: bool = True) -> AggHierarchy:
+                    smooth_p: bool = True,
+                    strength: float = 0.0,
+                    always: bool = False) -> AggHierarchy:
     """Aggregation hierarchy under one stencil level.
 
     Args:
@@ -274,9 +291,12 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
     levels: list[AggLevel] = []
     from scipy import sparse
     for _ in range(max_levels):
-        if A.shape[0] <= max_dense_dof:
+        # ``always`` (amg mode) coarsens at least once even when the fine
+        # system is already small — the caller wants a correction, and a
+        # hierarchy with zero levels provides none
+        if A.shape[0] <= max_dense_dof and (levels or not always):
             break
-        adj = _element_graph(A, E)
+        adj = _element_graph(A, E, strength=strength)
         agg = _aggregate(adj, E)
         na = int(agg.max()) + 1
         if na >= E:              # no coarsening possible
