@@ -8,9 +8,13 @@ Methodology notes (this hardware):
   synchronize by fetching a scalar;
 - the TPU client init (~10 s) is triggered before the setup timer — it is
   a per-process constant, not solver setup;
-- `rho` is the geometric-mean per-V-cycle residual contraction measured on
-  the manufactured-solution problem, and `l1_err` is the sin(x+y) gate of
-  the reference's validation scripts
+- `rho` is the asymptotic per-cycle residual contraction of the PRODUCTION
+  bare-iteration configuration on this mesh (no Krylov): strength-filtered
+  SA correction of the finest level (config.amg — untitled8192 has 3:1
+  stretched triangles, where the geometric two-grid pair caps at ~0.6 with
+  an EXACT coarse solve, see ops/agg.py).  `geometric` reports the r2-
+  comparable geometric V-cycle for continuity.
+- `l1_err` is the sin(x+y) gate of the reference's validation scripts
   (/root/reference/Check_thermal_analytical_validation.py:25).
 
 Baseline context (BASELINE.md): the reference's multigrid level sweep ran
@@ -19,7 +23,8 @@ at its best level count — ~6.5 s per V-cycle, serial -O0 x86.  We run
 untitled8192.msh with n_split=2 (393,216 DOF) and scale by DOF ratio.
 The level_sweep extra reproduces the reference's multigrid-benefit shape
 (Mesh_files/multigrid_meshes Performance.ods: 3.4-3.7x) as time-to-1e-6
-vs multi_levels on 900_ele at n_split=4.
+vs multi_levels on the 2_split macro family at n_split=5 — bare V-cycles,
+no Krylov anywhere in the sweep.
 """
 
 from __future__ import annotations
@@ -60,25 +65,17 @@ def _timed_scan(step, x0, n, reps=3):
     return best / n
 
 
-def _solver_for(mesh, n_split, levels, dt, dtype="float32",
-                coarse_krylov=False):
-    """coarse_krylov trades per-cycle speed for contraction: the CG
-    iterations are unfused launches (no phase kernel), so it pays off
-    only where the coarsest level is large/ill-conditioned (the deep
-    level sweep) — the shallow headline keeps the fused stationary
-    coarse phase."""
+def _solver_for(mesh, dt, **kw):
     from p_a_multigrids_tpu.config import SemiConfig
     from p_a_multigrids_tpu.models import semi as msemi
 
-    cfg = SemiConfig(n_split=n_split, multi_levels=levels, dt=dt, ntime=1,
-                     n_multigrid=1, dtype=dtype,
-                     coarse_krylov=coarse_krylov)
+    cfg = SemiConfig(dt=dt, ntime=1, n_multigrid=1, dtype="float32", **kw)
     problem = msemi.build_problem(mesh, cfg)
     return msemi.SemiSolver(problem)
 
 
 def _vcycle_stats(solver, n_rho=10, skip=2, n_time=100):
-    """(sec/cycle, rho): wall time per V-cycle + ASYMPTOTIC residual
+    """(sec/cycle, rho, norms): wall time per V-cycle + ASYMPTOTIC residual
     contraction (geometric mean over cycles skip..n_rho — the first cycles
     flatter any smoother, which is exactly what hides the multigrid
     benefit)."""
@@ -103,7 +100,12 @@ def _vcycle_stats(solver, n_rho=10, skip=2, n_time=100):
     norms = np.asarray(resid_seq(T), np.float64)
     with np.errstate(divide="ignore"):
         rho = float((norms[-1] / norms[skip]) ** (1.0 / (n_rho - 1 - skip)))
-    return per_cycle, rho, float(norms[0]), float(norms[-1])
+    return per_cycle, rho, norms
+
+
+def _t_to(per_cycle, rho, drop=1e-6):
+    return (per_cycle * math.log(drop) / math.log(rho)
+            if 0 < rho < 1 else float("inf"))
 
 
 def main():
@@ -116,13 +118,31 @@ def main():
 
     mesh = topology.rcm_reorder(
         topology.from_msh("/root/reference/Mesh_files/untitled8192.msh"))
-    t0 = time.time()
-    solver = _solver_for(mesh, n_split=2, levels=2, dt=0.05)
-    setup_s = time.time() - t0
 
+    # -- r2-comparable geometric headline (resident Pallas phase + agg
+    #    below the geometric coarsest) --------------------------------------
+    t0 = time.time()
+    solver = _solver_for(mesh, dt=0.05, n_split=2, multi_levels=2)
+    setup_s = time.time() - t0
     _mark(f'setup done ({setup_s:.1f}s)')
-    per_vcycle, rho, r_first, r_last = _vcycle_stats(solver)
-    _mark('vcycle stats done')
+    per_vcycle, rho_geo, norms_geo = _vcycle_stats(solver)
+    _mark('geometric vcycle stats done')
+
+    # -- production bare-iteration config: strength-filtered SA (amg) ------
+    amg = {}
+    try:
+        s_amg = _solver_for(mesh, dt=0.05, n_split=2, multi_levels=1,
+                            amg=True)
+        _mark('amg solver built')
+        per_amg, rho_amg, norms_amg = _vcycle_stats(s_amg, n_time=30)
+        amg = {"ms_per_cycle": round(per_amg * 1e3, 3),
+               "rho": round(rho_amg, 4),
+               "ms_to_1e6": round(_t_to(per_amg, rho_amg) * 1e3, 2),
+               "residual_history": [float(f"{v:.4e}") for v in norms_amg]}
+        _mark('amg stats done')
+    except Exception as e:  # keep the headline robust
+        amg = {"error": str(e)[:200]}
+        rho_amg = float("nan")
 
     U = mesh.num_elements
     C = 4 ** 2
@@ -159,13 +179,9 @@ def main():
 
     # manufactured-solution L1 gate on the bench mesh (sin(x+y), k=1):
     # steady diffusion solved to convergence by V-cycle-preconditioned PCG
-    # (the production implicit path; bare V-cycles contract at rho~0.9 here
-    # because the hierarchy cannot coarsen past one child per macro element)
-    from p_a_multigrids_tpu.config import SemiConfig
-    from p_a_multigrids_tpu.models import semi as msemi
-    gate_cfg = SemiConfig(n_split=2, multi_levels=3, dt=1e8, ntime=1,
-                          krylov=True, krylov_tol=1e-9, dtype="float32")
-    gate_solver = msemi.SemiSolver(msemi.build_problem(mesh, gate_cfg))
+    # (the production implicit path)
+    gate_solver = _solver_for(mesh, dt=1e8, n_split=2, multi_levels=3,
+                              krylov=True, krylov_tol=1e-9)
     _mark('gate solver built')
     Tg = gate_solver.run()
     _mark('gate solve done')
@@ -173,25 +189,29 @@ def main():
 
     # level sweep: the reference's multigrid-benefit shape
     # (Mesh_files/multigrid_meshes Performance.ods) — same macro mesh
-    # family, deep hierarchy, steady diffusion, time to reduce residual 1e6x
+    # family, deep hierarchy, steady diffusion, time to reduce the
+    # residual 1e6x.  Bare V-cycles: no Krylov at any level.
     sweep = {}
     try:
         mesh2 = topology.rcm_reorder(topology.from_msh(
             "/root/reference/Mesh_files/multigrid_meshes/2_split.msh"))
         for lv in (1, 2, 4, 6):
-            s2 = _solver_for(mesh2, n_split=5, levels=lv, dt=1e8,
-                             coarse_krylov=lv > 1)
+            s2 = _solver_for(mesh2, dt=1e8, n_split=5, multi_levels=lv)
             _mark(f'sweep level {lv} built')
-            pc, rh, _, _ = _vcycle_stats(s2, n_rho=10, n_time=30)
+            pc, rh, _ = _vcycle_stats(s2, n_rho=10, n_time=30)
             _mark(f'sweep level {lv} measured')
-            t_conv = (pc * math.log(1e-6) / math.log(rh)
-                      if 0 < rh < 1 else float("inf"))
             sweep[str(lv)] = {"ms_per_cycle": round(pc * 1e3, 3),
                               "rho": round(rh, 4),
-                              "ms_to_1e6": round(t_conv * 1e3, 2)}
+                              "ms_to_1e6": round(_t_to(pc, rh) * 1e3, 2)}
+        ratios = [v["ms_to_1e6"] for v in sweep.values()
+                  if isinstance(v, dict) and math.isfinite(v["ms_to_1e6"])]
+        if ratios:
+            sweep["max_over_min_ms_to_1e6"] = round(
+                max(ratios) / min(ratios), 2)
     except Exception as e:  # keep the headline metric robust
         sweep = {"error": str(e)[:200]}
 
+    phases = getattr(solver, "_phase", None) or []
     ref_per_vcycle = 6.5 * (ndof / 294912.0)
     result = {
         "metric": "time_per_vcycle_untitled8192_nsplit2",
@@ -201,9 +221,16 @@ def main():
         "extra": {
             "ndof": ndof,
             "setup_s": round(setup_s, 2),
-            "rho": round(rho, 4),
-            "residual_first": r_first,
-            "residual_last": r_last,
+            # production bare-iteration contraction (amg config below)
+            "rho": amg.get("rho", rho_geo),
+            "geometric": {
+                "ms_per_cycle": round(per_vcycle * 1e3, 3),
+                "rho": round(rho_geo, 4),
+                "ms_to_1e6": round(_t_to(per_vcycle, rho_geo) * 1e3, 2),
+                "residual_history": [float(f"{v:.4e}")
+                                     for v in norms_geo],
+            },
+            "amg": amg,
             "l1_err": l1,
             "l1_gate_passed": bool(l1 < 0.01),
             "op_gnnz_s": round(op_nnz_s / 1e9, 2),
@@ -212,7 +239,9 @@ def main():
             "spmv_xla_gnnz_s": round(spmv_xla_gnnz, 2),
             "pallas_spmv": pallas_spmv,
             "pallas_phase": solver._phase is not None,
-            "level_sweep_900ele_nsplit4": sweep,
+            "pallas_phase_impl": sorted({type(p).__name__ for p in phases
+                                         if p is not None}),
+            "level_sweep_2split_nsplit5": sweep,
         },
     }
     print(json.dumps(result))

@@ -64,6 +64,10 @@ def main(argv=None):
                          "generation or out-of-bounds indexing raises "
                          "(utils/debugging; the -fbounds-check equivalent, "
                          "reference Makefile:8)")
+    ap.add_argument("--profile", type=str, default=None, metavar="DIR",
+                    help="wrap the solve in a jax.profiler trace written "
+                         "to DIR (view with TensorBoard; the gprof/"
+                         "callgrind equivalent, reference Makefile:4-8)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the JAX_PLATFORMS env var "
@@ -108,6 +112,14 @@ def main(argv=None):
 
     t0 = time.time()
     out = {"mode": args.mode}
+    import contextlib
+    prof_ctx = contextlib.nullcontext()
+    if args.profile:
+        from .utils import profiling
+        prof_ctx = profiling.trace(args.profile)
+        out["profile_dir"] = args.profile
+    ctx_stack = contextlib.ExitStack()
+    ctx_stack.enter_context(prof_ctx)
     if args.mode == 1:
         from .models import transport_rect
         cfg = RectConfig(no_ele_row=args.rows, no_ele_col=args.cols,
@@ -236,6 +248,7 @@ def main(argv=None):
     else:
         raise SystemExit(f"unknown mode {args.mode}")
 
+    ctx_stack.close()
     out["wall_s"] = round(time.time() - t0, 3)
     if args.vtu:
         from .io import vtu as vtu_io

@@ -60,12 +60,17 @@ class AggLevel:
     # enclosing V-cycle floors at rho ~ 0.76 no matter how hard the fine
     # levels smooth (measured on untitled8192)
     omega: float = 0.8
+    # banded Pallas row-operator callables (None = XLA gather fallback)
+    op: object = None
+    rstr: object = None
+    prol: object = None
 
 
 @dataclasses.dataclass
 class AggHierarchy:
     levels: list[AggLevel]
-    coarse_inv: jax.Array | None    # dense inverse at the bottom (or None)
+    coarse_inv: jax.Array | None    # scaled dense inverse at the bottom
+    coarse_scale: jax.Array | None  # D^-1/2 Jacobi scaling of that inverse
     omega: float
     sweeps: int
 
@@ -321,6 +326,15 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
         # spectrally-safe smoothing weight for THIS level's operator,
         # measured on the BLOCK-preconditioned system the smoother runs
         lam_c = _power_lam_blocks(cols, vals, inv3x3(diag))
+        # compiled Pallas row-operators on TPU; on CPU the einsum-gather
+        # fallback is faster than interpret mode (kernel equivalence is
+        # covered by tests/test_agg.py in interpret mode)
+        interp = False
+        if jax.default_backend() == "cpu":
+            _mk = lambda *a: None
+        else:
+            _mk = lambda c, v, no, ns: _mk_rowop(c, v, no, ns, dtype,
+                                                 interp)
         levels.append(AggLevel(
             cols=jnp.asarray(cols.astype(np.int32)),
             vals=jnp.asarray(vals.astype(dtype)),
@@ -332,14 +346,26 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
             r_cols=jnp.asarray(r_cols.astype(np.int32)),
             r_vals=jnp.asarray(r_vals.astype(dtype)),
             n=na,
-            omega=min(float(4.0 / (3.0 * lam_c)), omega)))
+            omega=min(float(4.0 / (3.0 * lam_c)), omega),
+            op=_mk(cols, vals.astype(dtype), na, na),
+            rstr=_mk(r_cols, r_vals.astype(dtype), na, E),
+            prol=_mk(p_cols, p_vals.astype(dtype), E, na)))
         A, E, B = Ac, na, Bc
 
     coarse_inv = None
+    coarse_scale = None
     if levels and A.shape[0] <= max_dense_dof:
-        coarse_inv = jnp.asarray(
-            np.linalg.inv(A.toarray()).astype(dtype))
+        # the SIP Galerkin coarse matrix conditions at ~1e6+, so a raw f32
+        # inverse apply loses most digits.  Invert the SYMMETRICALLY
+        # Jacobi-scaled matrix instead (f64 on host): D^-1/2 A D^-1/2 has
+        # its scaling-induced conditioning stripped, the f32 matmuls stay
+        # accurate, and vcycle() applies e = S (As)^-1 S r with S = D^-1/2
+        s_vec = 1.0 / np.sqrt(np.maximum(np.abs(A.diagonal()), 1e-300))
+        As = (A.toarray() * s_vec[None, :]) * s_vec[:, None]
+        coarse_inv = jnp.asarray(np.linalg.inv(As).astype(dtype))
+        coarse_scale = jnp.asarray(s_vec.astype(dtype))
     return AggHierarchy(levels=levels, coarse_inv=coarse_inv,
+                        coarse_scale=coarse_scale,
                         omega=omega, sweeps=sweeps)
 
 
@@ -398,20 +424,78 @@ def _padded_transfer(P, n_rows_blk: int, n_cols_blk: int):
 
 
 # -- device-side cycle -------------------------------------------------------
+#
+# Every block-row operator (the level operator AND both transfers) runs
+# through the banded Pallas SpMV (ops/pallas_bsr) when possible: XLA
+# vector gathers are the slowest primitive on TPU (measured 11+ ms per
+# correction at the fine level), while the banded one-hot kernel streams
+# at memory speed.  Rectangular transfers are embedded as SQUARE operators
+# over the padded fine size (extra rows carry self-pointing zero blocks),
+# which costs a few idle row tiles and nothing else.
+
+
+def _mk_rowop(cols: np.ndarray, vals: np.ndarray, n_out: int, n_src: int,
+              dtype, interpret: bool, group: int = 8, kchunk: int = 8):
+    """(cols, vals) block rows -> callable y = Op(x), x (n_src, b).
+
+    The square padded embedding uses ``group=8`` source grouping (keeps
+    every Mosaic sublane dimension a multiple of 8) and splits operators
+    wider than ``kchunk`` slots into summed sub-operators so the in-kernel
+    gather mask stays within VMEM.  Falls back to the einsum gather (None)
+    when no chunk can use the banded kernel.
+    """
+    from .bsr import BSR
+    from .pallas_bsr import PallasSpMV
+
+    b = vals.shape[-1]
+    n_pad = 1024 * -(-max(n_out, n_src, 1024) // 1024)
+    D = cols.shape[1]
+    fns = []
+    any_pallas = False
+    for k0 in range(0, D, kchunk):
+        kc = min(kchunk, D - k0)
+        cols_p = np.tile(np.arange(n_pad, dtype=np.int64)[:, None],
+                         (1, kc))
+        vals_p = np.zeros((n_pad, kc, b, b), dtype)
+        cols_p[:n_out] = cols[:, k0:k0 + kc]
+        vals_p[:n_out] = vals[:, k0:k0 + kc]
+        A = BSR(cols=jnp.asarray(cols_p.astype(np.int32)),
+                vals=jnp.asarray(vals_p))
+        try:
+            fns.append(PallasSpMV(A, interpret=interpret, group=group))
+            any_pallas = True
+        except ValueError:
+            fns.append(A.spmv)
+    if not any_pallas:
+        return None          # caller uses the single einsum-gather path
+
+    def op(x):
+        x_pad = jnp.zeros((n_pad, b), x.dtype).at[: x.shape[0]].set(x)
+        y = fns[0](x_pad)
+        for fn in fns[1:]:
+            y = y + fn(x_pad)
+        return y[:n_out]
+    return op
 
 
 def _apply(lvl: AggLevel, x):
-    """A x for the padded block operator: gather + batched 3x3 einsum."""
+    """A x for the padded block operator."""
+    if lvl.op is not None:
+        return lvl.op(x)
     xg = x[lvl.cols]                                  # (N, D, 3)
     return jnp.einsum("ndij,ndj->ni", lvl.vals, xg)
 
 
 def _restrict(lvl: AggLevel, r_fine):
+    if lvl.rstr is not None:
+        return lvl.rstr(r_fine)
     rg = r_fine[lvl.r_cols]                           # (N, Dr, 3)
     return jnp.einsum("ndij,ndj->ni", lvl.r_vals, rg)
 
 
 def _prolong(lvl: AggLevel, e_coarse):
+    if lvl.prol is not None:
+        return lvl.prol(e_coarse)
     eg = e_coarse[lvl.p_cols]                         # (Ne, Dp, 3)
     return jnp.einsum("ndij,ndj->ni", lvl.p_vals, eg)
 
@@ -440,8 +524,9 @@ def vcycle(h: AggHierarchy, k: int, b):
         ec = vcycle(h, k + 1, _restrict(nxt, r))
         x = x + _prolong(nxt, ec)
     elif h.coarse_inv is not None:
-        ec = (h.coarse_inv @ r.reshape(-1)).reshape(r.shape)
-        x = x + ec
+        rs = h.coarse_scale * r.reshape(-1)
+        ec = h.coarse_scale * (h.coarse_inv @ rs)
+        x = x + ec.reshape(r.shape)
     x = _smooth(lvl, x, b, h.omega, h.sweeps)
     return x
 

@@ -354,6 +354,25 @@ class DistributedStencilSolver:
         """(3, C, U) -> (U_active, C, 3) numpy, padding removed."""
         return np.asarray(jnp.transpose(T_t, (2, 1, 0)))[: self.n_active]
 
+    # -- checkpoint / resume (io.checkpoint passthrough) ---------------------
+    def save_checkpoint(self, path: str, T_t, step: int) -> None:
+        """Persist the sharded state in the std (unpadded) layout so the
+        checkpoint is interchangeable with the serial solver's."""
+        from ..io import checkpoint as ckpt
+        ckpt.save(path, self.to_std(T_t), step, self.cfg)
+
+    def load_checkpoint(self, path: str):
+        """(T_t sharded, step): resume from a serial- or distributed-
+        written checkpoint (state re-padded + re-sharded)."""
+        from ..io import checkpoint as ckpt
+        T_np, step, _, _ = ckpt.load(path)
+        C = 4 ** self.cfg.n_split
+        full = np.zeros((self.U, C, T_np.shape[-1]), T_np.dtype)
+        full[: self.n_active] = T_np
+        T_t = jnp.transpose(jnp.asarray(full), (2, 1, 0))
+        sh = NamedSharding(self.jmesh, P(None, None, _AXIS))
+        return jax.device_put(T_t, sh), step
+
     def error(self, T_t):
         ana = np.asarray(self.p.analytical)[: self.n_active]
         return np.abs(self.to_std(T_t) - ana)

@@ -92,7 +92,7 @@ def triangle_rule(ngi: int) -> tuple[np.ndarray, np.ndarray]:
 def tet_rule(ngi: int) -> tuple[np.ndarray, np.ndarray]:
     """Barycentric points (ngi,4) and weights (ngi,) for a tetrahedron.
 
-    Supported ngi: 1, 4, 5 (ShapFun.F90:391-438); weights sum to 1/6.
+    Supported ngi: 1, 4, 5, 11 (ShapFun.F90:391-474); weights sum to 1/6.
     """
     if ngi == 1:
         L = np.full((1, 4), 0.25, _F)
@@ -108,6 +108,21 @@ def tet_rule(ngi: int) -> tuple[np.ndarray, np.ndarray]:
         for i in range(1, 5):
             L[i, i - 1] = 0.5
         w = np.asarray([-4.0 / 5.0] + [9.0 / 20.0] * 4, _F)
+    elif ngi == 11:
+        # degree-4 rule (ShapFun.F90:440-474): centroid + 4 vertex-biased
+        # points (11/14, 1/14^3) + the 6 edge-midpoint pairs (alpha^2
+        # beta^2 permutations with alpha + beta = 1/2)
+        a = (1.0 + np.sqrt(5.0 / 14.0)) / 4.0
+        b = (1.0 - np.sqrt(5.0 / 14.0)) / 4.0
+        h, e = 11.0 / 14.0, 1.0 / 14.0
+        L = np.array([
+            [0.25, 0.25, 0.25, 0.25],
+            [h, e, e, e], [e, h, e, e], [e, e, h, e], [e, e, e, h],
+            [a, a, b, b], [a, b, a, b], [a, b, b, a],
+            [b, a, a, b], [b, a, b, a], [b, b, a, a],
+        ])
+        w = np.array([-6.0 * 74.0 / 5625.0] + [6.0 * 343.0 / 45000.0] * 4
+                     + [6.0 * 56.0 / 2250.0] * 6)
     else:
         raise ValueError(f"unsupported tet rule ngi={ngi}")
     # enforce sum-to-one barycentrics then the 1/6 volume factor

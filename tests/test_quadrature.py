@@ -30,11 +30,28 @@ def test_triangle_rule_polynomial_exactness(ngi, deg):
             assert np.isclose(approx, exact, atol=1e-12), (ngi, a, b)
 
 
-@pytest.mark.parametrize("ngi", [1, 4, 5])
+@pytest.mark.parametrize("ngi", [1, 4, 5, 11])
 def test_tet_rule(ngi):
     L, w = quadrature.tet_rule(ngi)
     assert np.isclose(w.sum(), 1.0 / 6.0)
     assert np.allclose(L.sum(axis=1), 1.0)
+
+
+def test_tet_rule_11_degree4():
+    """The 11-point rule integrates all quartic monomials exactly
+    (degree-of-precision 4, ShapFun.F90:441)."""
+    import math
+    L, w = quadrature.tet_rule(11)
+    for a in range(5):
+        for b in range(5 - a):
+            for c in range(5 - a - b):
+                approx = 6.0 * np.sum(
+                    w * L[:, 0] ** a * L[:, 1] ** b * L[:, 2] ** c)
+                exact = 6.0 * (
+                    math.factorial(a) * math.factorial(b)
+                    * math.factorial(c)
+                    / math.factorial(a + b + c + 3))
+                assert np.isclose(approx, exact, atol=1e-9), (a, b, c)
 
 
 @pytest.mark.parametrize("sngi", [1, 2, 3])
