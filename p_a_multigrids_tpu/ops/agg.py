@@ -188,25 +188,34 @@ def _tentative_P(agg: np.ndarray, B: np.ndarray):
     B (E, 3, 3): near-nullspace values at each element's 3 dofs (last axis
     = the 3 nullspace vectors).  Returns Pb (E, 3, 3) orthonormal blocks
     and the coarse-level nullspace B_c (Na, 3, 3).
+
+    Vectorized: aggregates are grouped by size and each size class runs
+    one BATCHED np.linalg.qr (a per-aggregate Python loop costs tens of
+    seconds at 100k+ elements).
     """
     E = B.shape[0]
     na = int(agg.max()) + 1
     Pb = np.zeros((E, 3, 3))
     Bc = np.zeros((na, 3, 3))
     order = np.argsort(agg, kind="stable")
-    bounds = np.searchsorted(agg[order], np.arange(na + 1))
-    for a in range(na):
-        rows = order[bounds[a]:bounds[a + 1]]
-        Ba = B[rows].reshape(-1, 3)                  # (ne*3, 3)
-        Q, R = np.linalg.qr(Ba)
-        # fix rank-deficiency (collinear dofs): fall back to identity cols
-        diag = np.abs(np.diag(R))
-        bad = diag < 1e-12 * max(diag.max(), 1e-30)
+    sizes = np.bincount(agg, minlength=na)
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
+    for sz in np.unique(sizes):
+        aggs = np.nonzero(sizes == sz)[0]
+        # (n_agg_of_size, sz) member rows in stable order
+        rows = order[bounds[aggs][:, None] + np.arange(sz)[None, :]]
+        Ba = B[rows].reshape(len(aggs), sz * 3, 3)
+        Q, R = np.linalg.qr(Ba)                      # batched
+        diag = np.abs(np.diagonal(R, axis1=-2, axis2=-1))
+        bad = diag < 1e-12 * np.maximum(diag.max(axis=-1, keepdims=True),
+                                        1e-30)
         if bad.any():
-            Q = np.where(bad[None, :], 0.0, Q)
-            R = np.where(bad[:, None] | bad[None, :], np.eye(3), R)
-        Pb[rows] = Q.reshape(len(rows), 3, 3)
-        Bc[a] = R
+            Q = np.where(bad[:, None, :], 0.0, Q)
+            fix = bad[:, :, None] | bad[:, None, :]
+            R = np.where(fix, np.eye(3)[None], R)
+        Pb[rows.reshape(-1)] = Q.reshape(len(aggs), sz, 3, 3).reshape(
+            -1, 3, 3)
+        Bc[aggs] = R
     return Pb, Bc
 
 
@@ -224,42 +233,34 @@ def _padded_operator(A, E: int, max_deg: int = 18, drop_tol: float = 1e-4):
     """
     Ab = A.tobsr(blocksize=(3, 3))
     indptr, indices, data = Ab.indptr, Ab.indices, Ab.data
+    deg = np.diff(indptr)
+    rows = np.repeat(np.arange(E), deg)
     norms = np.abs(data).max(axis=(1, 2))
-    dnorm = np.ones(E)
-    for e in range(E):
-        sl = slice(indptr[e], indptr[e + 1])
-        own = np.nonzero(indices[sl] == e)[0]
-        if len(own):
-            dnorm[e] = max(norms[sl][own[0]], 1e-300)
-    keep_rows = []
-    for e in range(E):
-        sl = slice(indptr[e], indptr[e + 1])
-        idx = np.arange(sl.start, sl.stop)
-        cols_e = indices[sl]
-        strong = (norms[sl] >= drop_tol * np.sqrt(dnorm[e] * dnorm[cols_e])
-                  ) | (cols_e == e)
-        idx = idx[strong]
-        if len(idx) > max_deg:
-            order = np.argsort(-norms[idx])
-            own = np.nonzero(indices[idx] == e)[0]
-            pick = set(own.tolist())
-            for o in order:
-                if len(pick) >= max_deg:
-                    break
-                pick.add(int(o))
-            idx = idx[sorted(pick)]
-        keep_rows.append(idx)
-    D = max(max(len(k) for k in keep_rows), 1)
-    cols = np.tile(np.arange(E)[:, None], (1, D)).astype(np.int64)
-    vals = np.zeros((E, D, 3, 3))
+    is_diag = indices == rows
+    dnorm = np.full(E, 1e-300)
+    dnorm[rows[is_diag]] = np.maximum(norms[is_diag], 1e-300)
     diag = np.zeros((E, 3, 3))
-    for e in range(E):
-        idx = keep_rows[e]
-        cols[e, :len(idx)] = indices[idx]
-        vals[e, :len(idx)] = data[idx]
-        own = np.nonzero(indices[idx] == e)[0]
-        if len(own):
-            diag[e] = data[idx][own[0]]
+    diag[rows[is_diag]] = data[is_diag]
+
+    strong = (norms >= drop_tol * np.sqrt(dnorm[rows] * dnorm[indices])
+              ) | is_diag
+    # cap over-long rows at the max_deg strongest couplings (diagonal
+    # always kept); only the offending rows loop in Python
+    kdeg = np.zeros(E, np.int64)
+    np.add.at(kdeg, rows[strong], 1)
+    for e in np.nonzero(kdeg > max_deg)[0]:
+        sl = slice(indptr[e], indptr[e + 1])
+        idx = np.arange(sl.start, sl.stop)[strong[sl]]
+        order = idx[np.argsort(-(norms[idx] + 1e30 * is_diag[idx]))]
+        strong[order[max_deg:]] = False
+    keep = np.nonzero(strong)[0]
+    new_deg = np.zeros(E, np.int64)
+    np.add.at(new_deg, rows[keep], 1)
+    new_indptr = np.concatenate([[0], np.cumsum(new_deg)])
+    cols, vals = _ragged_to_padded(new_indptr, indices[keep], data[keep], E)
+    # zero slots (padding) become harmless self references
+    pad = np.abs(vals).max(axis=(2, 3)) == 0
+    cols = np.where(pad, np.arange(E)[:, None], cols)
     return cols, vals, diag
 
 
@@ -402,25 +403,29 @@ def _power_lam(DA, iters: int = 15, seed: int = 0) -> float:
     return max(float(np.linalg.norm(DA @ v)), 1e-12)
 
 
+def _ragged_to_padded(indptr, indices, data, n_rows: int):
+    """Vectorized CSR-blocks -> zero-padded (cols (N, D), vals (N, D, b, b))."""
+    deg = np.diff(indptr)
+    D = int(deg.max()) if len(deg) and deg.max() > 0 else 1
+    b = data.shape[-1] if data.ndim == 3 else 1
+    cols = np.zeros((n_rows, D), np.int64)
+    vals = np.zeros((n_rows, D, b, b))
+    if len(indices):
+        rows = np.repeat(np.arange(n_rows), deg)
+        pos = np.arange(len(indices)) - np.repeat(indptr[:-1], deg)
+        cols[rows, pos] = indices
+        vals[rows, pos] = data
+    return cols, vals
+
+
 def _padded_transfer(P, n_rows_blk: int, n_cols_blk: int):
     """Scalar CSR transfer -> padded block-row tables.
 
     Returns (cols (N, D) int32 block-column ids, vals (N, D, 3, 3)) such
     that y[e] = sum_d vals[e, d] @ x[cols[e, d]] reproduces P (or P^T).
     """
-    from scipy import sparse
     Pb = P.tobsr(blocksize=(3, 3))
-    indptr, indices, data = Pb.indptr, Pb.indices, Pb.data
-    deg = np.diff(indptr)
-    D = int(deg.max()) if len(deg) else 1
-    cols = np.zeros((n_rows_blk, D), np.int64)
-    vals = np.zeros((n_rows_blk, D, 3, 3))
-    for e in range(n_rows_blk):
-        sl = slice(indptr[e], indptr[e + 1])
-        k = indptr[e + 1] - indptr[e]
-        cols[e, :k] = indices[sl]
-        vals[e, :k] = data[sl]
-    return cols, vals
+    return _ragged_to_padded(Pb.indptr, Pb.indices, Pb.data, n_rows_blk)
 
 
 # -- device-side cycle -------------------------------------------------------

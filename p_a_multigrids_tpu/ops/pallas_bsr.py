@@ -201,6 +201,10 @@ class PallasSpMV:
             self._kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((b, E), dt),
+            # raise Mosaic's default 16 MB scoped-VMEM limit to match the
+            # class's own budget (the VMEM_BUDGET check above)
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=self.VMEM_BUDGET + (16 << 20)),
             interpret=self.interpret,
         )
         return self._call_cached
