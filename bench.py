@@ -98,8 +98,14 @@ def _vcycle_stats(solver, n_rho=10, skip=2, n_time=100):
         _, norms = jax.lax.scan(cycle, x, None, length=n_rho)
         return norms
     norms = np.asarray(resid_seq(T), np.float64)
+    # f32 floor guard: once the residual has dropped ~5 decades it sits on
+    # float32 rounding noise and late-cycle ratios no longer measure the
+    # iteration — trim the window to the genuinely contracting cycles
+    valid = np.nonzero(norms > norms[0] * 1e-5)[0]
+    last = int(valid[-1]) if len(valid) else n_rho - 1
+    last = max(last, skip + 1)
     with np.errstate(divide="ignore"):
-        rho = float((norms[-1] / norms[skip]) ** (1.0 / (n_rho - 1 - skip)))
+        rho = float((norms[last] / norms[skip]) ** (1.0 / (last - skip)))
     return per_cycle, rho, norms
 
 

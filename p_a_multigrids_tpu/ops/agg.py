@@ -453,29 +453,34 @@ def _mk_rowop(cols: np.ndarray, vals: np.ndarray, n_out: int, n_src: int,
     from .pallas_bsr import PallasSpMV
 
     b = vals.shape[-1]
-    n_pad = 1024 * -(-max(n_out, n_src, 1024) // 1024)
+    n_op = 1024 * -(-max(n_out, 1024) // 1024)       # padded output rows
+    n_sp = 1024 * -(-max(n_src, 1024) // 1024)       # padded source rows
     D = cols.shape[1]
     fns = []
     any_pallas = False
     for k0 in range(0, D, kchunk):
         kc = min(kchunk, D - k0)
-        cols_p = np.tile(np.arange(n_pad, dtype=np.int64)[:, None],
-                         (1, kc))
-        vals_p = np.zeros((n_pad, kc, b, b), dtype)
+        cols_p = np.zeros((n_op, kc), np.int64)      # pad rows read src 0
+        vals_p = np.zeros((n_op, kc, b, b), dtype)
         cols_p[:n_out] = cols[:, k0:k0 + kc]
         vals_p[:n_out] = vals[:, k0:k0 + kc]
-        A = BSR(cols=jnp.asarray(cols_p.astype(np.int32)),
-                vals=jnp.asarray(vals_p))
+        # host-numpy BSR: PallasSpMV reads the tables host-side and
+        # device_puts ONE batched dict itself — per-chunk jnp uploads pay
+        # a tunnel round trip each (minutes of setup over a hierarchy on
+        # remote TPUs)
+        A_host = BSR(cols=cols_p.astype(np.int32), vals=vals_p)
         try:
-            fns.append(PallasSpMV(A, interpret=interpret, group=group))
+            fns.append(PallasSpMV(A_host, interpret=interpret,
+                                  group=group, src_rows=n_sp))
             any_pallas = True
         except ValueError:
-            fns.append(A.spmv)
+            fns.append(BSR(cols=jnp.asarray(A_host.cols),
+                           vals=jnp.asarray(A_host.vals)).spmv)
     if not any_pallas:
         return None          # caller uses the single einsum-gather path
 
     def op(x):
-        x_pad = jnp.zeros((n_pad, b), x.dtype).at[: x.shape[0]].set(x)
+        x_pad = jnp.zeros((n_sp, b), x.dtype).at[: x.shape[0]].set(x)
         y = fns[0](x_pad)
         for fn in fns[1:]:
             y = y + fn(x_pad)

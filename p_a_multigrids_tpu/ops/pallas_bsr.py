@@ -76,23 +76,28 @@ class PallasSpMV:
                 return tr
         raise ValueError(f"E={E} has no usable row tile width")
 
-    def __init__(self, A: BSR, interpret: bool = False, group: int = 1):
+    def __init__(self, A: BSR, interpret: bool = False, group: int = 1,
+                 src_rows: int | None = None):
         cols = np.asarray(A.cols)
         vals = np.asarray(A.vals)
         E, K = cols.shape
         b = vals.shape[-1]
         dtype = vals.dtype
-        if group < 1 or E % group:
-            raise ValueError(f"group={group} must divide E={E}")
-        self.E, self.K, self.b, self.G = E, K, b, group
+        # rectangular operators (e.g. multigrid transfers): the gathered
+        # source vector has src_rows block rows independent of the E
+        # output rows; cols index the SOURCE space
+        S = E if src_rows is None else int(src_rows)
+        if group < 1 or E % group or S % group:
+            raise ValueError(f"group={group} must divide E={E} and S={S}")
+        self.E, self.K, self.b, self.G, self.S = E, K, b, group, S
         self.interpret = interpret
         TR = self._pick_tr(E, group)
         self.TR = TR
         self.T = E // TR
 
         # self-block shortcut: slot 0 is the identity column in bsr.build's
-        # layout; its gather is just the row tile itself
-        self.self0 = bool((cols[:, 0] == np.arange(E)).all())
+        # layout; its gather is just the row tile itself (square only)
+        self.self0 = bool(S == E and (cols[:, 0] == np.arange(E)).all())
         k0 = 1 if self.self0 else 0
         self.KG = K - k0          # slots that go through the gather
         gcols = cols[:, k0:] // group                      # (E, KG) group ids
@@ -101,7 +106,7 @@ class PallasSpMV:
         # per-tile band [off_t, off_t + W) on the GROUP axis; aligned_band
         # keeps every offset a true multiple of ALIGN (the pl.multiple_of
         # promise below) by widening W instead of clamping off the grid
-        EG = E // group
+        EG = S // group
         if self.KG:
             lo = gcols.reshape(self.T, -1).min(axis=1)
             hi = gcols.reshape(self.T, -1).max(axis=1)
@@ -113,7 +118,7 @@ class PallasSpMV:
         self.offs = jnp.asarray(offs.astype(np.int32))
 
         KW = max(self.KG, 1)
-        vmem = (2 * b * E                      # x rows + x grouped
+        vmem = (b * E + b * S                  # x rows + x grouped
                 + K * b * b * TR * 2           # vals tiles (double-buffered)
                 + b * group * W                # band
                 + W * KW * TR                  # gather mask
@@ -185,7 +190,7 @@ class PallasSpMV:
                 pl.BlockSpec((b, TR), lambda t, offs: (0, t),
                              memory_space=pltpu.VMEM),     # x row tile
                 # whole grouped x, constant index map -> VMEM-resident
-                pl.BlockSpec((b * G, E // G), lambda t, offs: (0, 0),
+                pl.BlockSpec((b * G, self.S // G), lambda t, offs: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((KW, TR), lambda t, offs: (0, t),
                              memory_space=pltpu.VMEM),     # rel group ids
@@ -210,13 +215,17 @@ class PallasSpMV:
         return self._call_cached
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        """y = A @ x with x (E, b) -> (E, b) (same contract as BSR.spmv)."""
-        E, b, G = self.E, self.b, self.G
-        x_t = x.T                                          # (b, E)
-        # grouped layout (b*G, E/G): sublane (i, c), lane = group index
-        xg = x_t.reshape(b, E // G, G).transpose(0, 2, 1).reshape(
-            b * G, E // G)
-        y_t = self._call()(self.offs, x_t, xg, self.rel_t, self.mem_t,
+        """y = A @ x with x (S, b) -> (E, b) (same contract as BSR.spmv;
+        rectangular when src_rows was given)."""
+        E, b, G, S = self.E, self.b, self.G, self.S
+        x_t = x.T                                          # (b, S)
+        # grouped layout (b*G, S/G): sublane (i, c), lane = group index
+        xg = x_t.reshape(b, S // G, G).transpose(0, 2, 1).reshape(
+            b * G, S // G)
+        # the row-tile input only feeds the self-block shortcut (square
+        # operators); rectangular ones get a folded zero placeholder
+        x_row = x_t if self.self0 else jnp.zeros((b, E), x_t.dtype)
+        y_t = self._call()(self.offs, x_row, xg, self.rel_t, self.mem_t,
                            self.vals_t)
         return y_t.T
 
