@@ -125,10 +125,11 @@ def main():
     mesh = topology.rcm_reorder(
         topology.from_msh("/root/reference/Mesh_files/untitled8192.msh"))
 
-    # -- r2-comparable geometric headline (resident Pallas phase + agg
-    #    below the geometric coarsest) --------------------------------------
+    # -- r2-comparable geometric headline (fused Pallas phases, stationary
+    #    coarse sweeps — identical configuration to BENCH_r02) -------------
     t0 = time.time()
-    solver = _solver_for(mesh, dt=0.05, n_split=2, multi_levels=2)
+    solver = _solver_for(mesh, dt=0.05, n_split=2, multi_levels=2,
+                         coarse_agg=False)
     setup_s = time.time() - t0
     _mark(f'setup done ({setup_s:.1f}s)')
     per_vcycle, rho_geo, norms_geo = _vcycle_stats(solver)
@@ -138,7 +139,7 @@ def main():
     amg = {}
     try:
         s_amg = _solver_for(mesh, dt=0.05, n_split=2, multi_levels=1,
-                            amg=True)
+                            amg=True, agg_strength=0.5)
         _mark('amg solver built')
         per_amg, rho_amg, norms_amg = _vcycle_stats(s_amg, n_time=30)
         amg = {"ms_per_cycle": round(per_amg * 1e3, 3),
@@ -202,7 +203,11 @@ def main():
         mesh2 = topology.rcm_reorder(topology.from_msh(
             "/root/reference/Mesh_files/multigrid_meshes/2_split.msh"))
         for lv in (1, 2, 4, 6):
-            s2 = _solver_for(mesh2, dt=1e8, n_split=5, multi_levels=lv)
+            # W-cycles: coarse systems re-solved per visit, so deep
+            # hierarchies keep the two-grid contraction (levels shrink 4x
+            # per depth — a W-visit costs < 2x a V-visit)
+            s2 = _solver_for(mesh2, dt=1e8, n_split=5, multi_levels=lv,
+                             cycle_type="w")
             _mark(f'sweep level {lv} built')
             pc, rh, _ = _vcycle_stats(s2, n_rho=10, n_time=30)
             _mark(f'sweep level {lv} measured')

@@ -693,10 +693,13 @@ def make_phase(op: StencilOperator, interpret: bool = False,
                impl: str = "auto"):
     """Best available fused phase kernel for one level's operator.
 
-    ``auto`` prefers the resident lattice kernel (zero per-round HBM
-    traffic, O(C) gathers) and falls back to the streaming V1 kernel, then
-    to None (caller uses the XLA stencil path).  ``resident``/``stream``
-    force one implementation (raising its ValueError on infeasibility).
+    ``auto`` uses the streaming V1 kernel where its tiles fit VMEM
+    (measured slightly faster at shallow n_split: the coefficient stream
+    pipelines well at small C) and falls back to the resident lattice
+    kernel (zero per-round HBM traffic, O(C) shift gathers) at deep
+    n_split where streaming is infeasible, then to None (caller uses the
+    XLA stencil path).  ``resident``/``stream`` force one implementation
+    (raising its ValueError on infeasibility).
     """
     if impl == "resident":
         return PhaseOperatorResident(op, interpret=interpret)
@@ -705,11 +708,11 @@ def make_phase(op: StencilOperator, interpret: bool = False,
     if impl != "auto":
         raise ValueError(f"unknown phase_impl {impl!r}")
     try:
-        return PhaseOperatorResident(op, interpret=interpret)
+        return PhaseOperator(op, interpret=interpret)
     except ValueError:
         pass
     try:
-        return PhaseOperator(op, interpret=interpret)
+        return PhaseOperatorResident(op, interpret=interpret)
     except ValueError as e:
         print(f"pallas_phase disabled: {e}")
         return None

@@ -87,10 +87,23 @@ def test_phase_impls_match_stencil(impl, n_split):
                                rtol=1e-11, atol=1e-11)
 
 
-def test_auto_prefers_resident():
+def test_auto_selection():
+    """auto: streaming V1 at shallow split (faster there), resident at
+    deep split where streaming runs out of VMEM."""
     solver = _solver(True)
-    assert all(type(p).__name__ == "PhaseOperatorResident"
+    assert all(type(p).__name__ == "PhaseOperator"
                for p in solver._phase)
+    from p_a_multigrids_tpu.ops import pallas_stencil as _ps
+    deep = _solver(False, n_split=3, levels=1)
+    op = deep._stencil[0]
+    # force the streaming kernel into infeasibility via a tiny budget
+    old = _ps.PhaseOperator.VMEM_BUDGET
+    try:
+        _ps.PhaseOperator.VMEM_BUDGET = 1024
+        ph = _ps.make_phase(op, interpret=True, impl="auto")
+        assert type(ph).__name__ == "PhaseOperatorResident"
+    finally:
+        _ps.PhaseOperator.VMEM_BUDGET = old
 
 
 def test_phase_after_rcm_reorder():
