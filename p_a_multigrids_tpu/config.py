@@ -122,9 +122,11 @@ class SemiConfig:
     # coarse solve); on uniform meshes the geometric hierarchy is cheaper.
     amg: bool = False
     # multigrid cycle shape: "v" visits each coarse level once per cycle;
-    # "w" recurses twice — coarse systems are solved much more accurately
-    # for <2x fine-level cost (levels shrink 4x per depth), which keeps the
-    # multi-level contraction at the two-grid rate.
+    # "w" recurses twice at the top two level pairs — those coarse systems
+    # are solved much more accurately for <2x fine-level cost (levels
+    # shrink 4x per depth), keeping the multi-level contraction near the
+    # two-grid rate.  (The W-recursion is capped at depth 2: a full W
+    # unrolls 2^levels coarse visits into the compiled graph.)
     cycle_type: str = "v"
     # when the coarsest level exceeds the dense-direct cap, solve it with
     # `coarse_sweeps` iterations of block-Jacobi-preconditioned CG instead

@@ -1030,7 +1030,10 @@ class SemiSolver:
             r_t = ph.mul_self(z_t)                 # r = D z = b - A x
             bc_ = self._restrict_t(r_t, self.p.levels[li + 1]["s"])
             e_t = self._vcycle_t(li + 1, jnp.zeros_like(bc_), bc_, hom)
-            if cfg.cycle_type == "w":
+            if cfg.cycle_type == "w" and li < 2:
+                # W only near the top: full W unrolls 2^levels coarse
+                # visits into the XLA graph (compile explosion at 6
+                # levels) for marginal benefit below the top pairs
                 e_t = self._vcycle_t(li + 1, e_t, bc_, hom)
             x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
             return ph.phase(x_t, bp, coefs)[0]
@@ -1052,7 +1055,7 @@ class SemiSolver:
         r_t = b_t - op.apply(x_t, with_bc)
         bc_ = self._restrict_t(r_t, self.p.levels[li + 1]["s"])
         e_t = self._vcycle_t(li + 1, jnp.zeros_like(bc_), bc_, hom)
-        if cfg.cycle_type == "w":
+        if cfg.cycle_type == "w" and li < 2:
             e_t = self._vcycle_t(li + 1, e_t, bc_, hom)
         x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
         return self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
@@ -1117,7 +1120,7 @@ class SemiSolver:
         bc_ = self._restrict(r, self.p.levels[li + 1]["s"])
         e = jnp.zeros_like(bc_)
         e = self._vcycle(li + 1, e, bc_, hom)
-        if cfg.cycle_type == "w":
+        if cfg.cycle_type == "w" and li < 2:
             e = self._vcycle(li + 1, e, bc_, hom)
         x = x + prolong(e, self.p.levels[li + 1]["s"])
         x = self._smooth(li, x, b, cfg.n_smooth, with_bc)

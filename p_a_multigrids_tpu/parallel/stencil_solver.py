@@ -285,7 +285,7 @@ class DistributedStencilSolver:
         r_t = b_t - _apply(tab, meta, x_t, with_bc, W, D)
         bc_ = semi.restrict_t(r_t, self.p.levels[li + 1]["s"])
         e_t = self._vcycle(tabs, li + 1, jnp.zeros_like(bc_), bc_, hom)
-        if cfg.cycle_type == "w":
+        if cfg.cycle_type == "w" and li < 2:
             e_t = self._vcycle(tabs, li + 1, e_t, bc_, hom)
         x_t = x_t + semi.prolong_t(e_t, self.p.levels[li + 1]["s"])
         return _sweep(tab, meta, x_t, bp, coefs, W, D)
