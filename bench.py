@@ -165,7 +165,7 @@ def main():
     amg = {}
     try:
         s_amg = _solver_for(mesh, dt=0.05, n_split=2, multi_levels=1,
-                            amg=True, agg_strength=0.5, cheb_degree=10,
+                            amg=True, agg_strength=0.5, cheb_degree=16,
                             cheb_lower=0.05)
         _mark('amg solver built')
         per_amg, rho_hist, norms_amg = _vcycle_stats(s_amg, n_time=30)
@@ -234,18 +234,27 @@ def main():
         for lv in (1, 2, 4, 6):
             # degree-10 Chebyshev phases: deeper hierarchies hold closer
             # to the two-grid contraction (the intermediate-pair rate is
-            # smoothing-limited on this family)
-            s2 = _solver_for(mesh2, dt=1e8, n_split=5, multi_levels=lv,
-                             cheb_degree=10, cheb_lower=0.05,
-                             cycle_type="w")
-            _mark(f'sweep level {lv} built')
-            pc, rh, _ = _vcycle_stats(s2, n_rho=10, n_time=30)
-            _mark(f'sweep level {lv} measured')
-            sweep[str(lv)] = {"ms_per_cycle": round(pc * 1e3, 3),
-                              "rho": round(rh, 4),
-                              "ms_to_1e6": round(_t_to(pc, rh) * 1e3, 2)}
+            # smoothing-limited on this family).  The tunneled compile
+            # helper fails transiently under load — retry per level.
+            for attempt in range(3):
+                try:
+                    s2 = _solver_for(mesh2, dt=1e8, n_split=5,
+                                     multi_levels=lv, cheb_degree=10,
+                                     cheb_lower=0.05, cycle_type="w")
+                    _mark(f'sweep level {lv} built (attempt {attempt})')
+                    pc, rh, _ = _vcycle_stats(s2, n_rho=10, n_time=30)
+                    _mark(f'sweep level {lv} measured')
+                    sweep[str(lv)] = {
+                        "ms_per_cycle": round(pc * 1e3, 3),
+                        "rho": round(rh, 4),
+                        "ms_to_1e6": round(_t_to(pc, rh) * 1e3, 2)}
+                    break
+                except Exception as e:
+                    sweep[str(lv)] = {"error": str(e)[:160]}
+                    _mark(f'sweep level {lv} attempt {attempt} failed')
         ratios = [v["ms_to_1e6"] for v in sweep.values()
-                  if isinstance(v, dict) and math.isfinite(v["ms_to_1e6"])]
+                  if isinstance(v, dict) and "ms_to_1e6" in v
+                  and math.isfinite(v["ms_to_1e6"])]
         if ratios:
             sweep["max_over_min_ms_to_1e6"] = round(
                 max(ratios) / min(ratios), 2)
