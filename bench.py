@@ -232,21 +232,23 @@ def main():
         mesh2 = topology.rcm_reorder(topology.from_msh(
             "/root/reference/Mesh_files/multigrid_meshes/2_split.msh"))
         for lv in (1, 2, 4, 6):
-            # degree-10 Chebyshev phases: deeper hierarchies hold closer
-            # to the two-grid contraction (the intermediate-pair rate is
-            # smoothing-limited on this family).  The tunneled compile
-            # helper fails transiently under load — retry per level.
-            for attempt in range(3):
+            # degree-10 W-cycles hold deep hierarchies near the two-grid
+            # contraction, but their larger graphs sometimes exceed what
+            # the tunneled compile helper survives — degrade per level
+            # (deg10+W -> deg10+V -> deg6+V, the known-safe r2 shape)
+            for attempt, (deg, ct) in enumerate(
+                    [(10, "w"), (10, "v"), (6, "v")]):
                 try:
                     s2 = _solver_for(mesh2, dt=1e8, n_split=5,
-                                     multi_levels=lv, cheb_degree=10,
-                                     cheb_lower=0.05, cycle_type="w")
-                    _mark(f'sweep level {lv} built (attempt {attempt})')
+                                     multi_levels=lv, cheb_degree=deg,
+                                     cheb_lower=0.05, cycle_type=ct)
+                    _mark(f'sweep level {lv} built (deg{deg} {ct})')
                     pc, rh, _ = _vcycle_stats(s2, n_rho=10, n_time=30)
                     _mark(f'sweep level {lv} measured')
                     sweep[str(lv)] = {
                         "ms_per_cycle": round(pc * 1e3, 3),
                         "rho": round(rh, 4),
+                        "config": f"deg{deg}-{ct}",
                         "ms_to_1e6": round(_t_to(pc, rh) * 1e3, 2)}
                     break
                 except Exception as e:
