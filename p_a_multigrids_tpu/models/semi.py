@@ -228,7 +228,9 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
             bc_fn = manufactured_solution
         bc_vals = np.zeros((len(lvl.bc_elem), 2))
         if bc_fn is not None and i == 0 and len(lvl.bc_elem):
-            bc_vals = bc_fn(lvl.bc_coords[:, :, 0], lvl.bc_coords[:, :, 1])
+            bc_vals = np.broadcast_to(np.asarray(
+                bc_fn(lvl.bc_coords[:, :, 0], lvl.bc_coords[:, :, 1]),
+                np.float64), (len(lvl.bc_elem), 2))
         # per-face BC type: diffusive surface terms are switched off on
         # no-flux faces; advective flux there uses the interior trace
         neu_mask = np.zeros((U, C, 3), bool)
@@ -307,8 +309,12 @@ def build_problem(mesh: MacroMesh, cfg: SemiConfig) -> SemiProblem:
     if cfg.manufactured:
         src_fn = src_fn or (lambda x, y: manufactured_source(x, y, k))
         ana_fn = ana_fn or manufactured_solution
-    src = src_fn(xf, yf) if src_fn else np.zeros(xf.shape)
-    ana = ana_fn(xf, yf) if ana_fn else np.zeros(xf.shape)
+    # broadcast_to: constant expressions (e.g. --source "0") evaluate to
+    # scalars, which must still fill the field
+    src = (np.broadcast_to(np.asarray(src_fn(xf, yf), np.float64),
+                           xf.shape) if src_fn else np.zeros(xf.shape))
+    ana = (np.broadcast_to(np.asarray(ana_fn(xf, yf), np.float64),
+                           xf.shape) if ana_fn else np.zeros(xf.shape))
     levels[0]["_np"]["source"] = np.asarray(src, dtype)
     levels[0]["source"] = jnp.asarray(levels[0]["_np"]["source"])
 
@@ -1213,7 +1219,9 @@ class SemiSolver:
         C = self.p.levels[0]["C"]
         if self.cfg.fns.ic is not None:
             cf = self.p.coords_fine
-            T = self.cfg.fns.ic(cf[:, :, 0], cf[:, :, 1])
+            T = np.broadcast_to(
+                np.asarray(self.cfg.fns.ic(cf[:, :, 0], cf[:, :, 1]),
+                           np.float64), cf[:, :, 0].shape)
             return jnp.asarray(T, self.p.analytical.dtype)
         T = np.zeros((U, C, 3), self.p.analytical.dtype)
         T[self.p.grid.macro.region_id == 4] = 1.0
