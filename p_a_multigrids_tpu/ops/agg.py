@@ -327,15 +327,21 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
         # spectrally-safe smoothing weight for THIS level's operator,
         # measured on the BLOCK-preconditioned system the smoother runs
         lam_c = _power_lam_blocks(cols, vals, inv3x3(diag))
-        # compiled Pallas row-operators on TPU; on CPU the einsum-gather
-        # fallback is faster than interpret mode (kernel equivalence is
-        # covered by tests/test_agg.py in interpret mode)
+        # compiled Pallas row-operators on TPU — but only where the gather
+        # is actually large: every pallas_call serializes its Mosaic
+        # kernel into the XLA payload, and a hierarchy full of tiny-level
+        # kernels produced 68 MB MLIR modules that crash the remote
+        # compile helper.  Small levels run the einsum gather (cheap at
+        # their size).  On CPU the einsum fallback beats interpret mode
+        # (kernel equivalence is covered by tests/test_agg.py).
         interp = False
         if jax.default_backend() == "cpu":
             _mk = lambda *a: None
         else:
-            _mk = lambda c, v, no, ns: _mk_rowop(c, v, no, ns, dtype,
-                                                 interp)
+            def _mk(c, v, no, ns):
+                if no * c.shape[1] < 200_000:
+                    return None
+                return _mk_rowop(c, v, no, ns, dtype, interp)
         levels.append(AggLevel(
             cols=jnp.asarray(cols.astype(np.int32)),
             vals=jnp.asarray(vals.astype(dtype)),

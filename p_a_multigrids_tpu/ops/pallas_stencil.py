@@ -693,13 +693,14 @@ def make_phase(op: StencilOperator, interpret: bool = False,
                impl: str = "auto"):
     """Best available fused phase kernel for one level's operator.
 
-    ``auto`` uses the streaming V1 kernel where its tiles fit VMEM
-    (measured slightly faster at shallow n_split: the coefficient stream
-    pipelines well at small C) and falls back to the resident lattice
-    kernel (zero per-round HBM traffic, O(C) shift gathers) at deep
-    n_split where streaming is infeasible, then to None (caller uses the
-    XLA stencil path).  ``resident``/``stream`` force one implementation
-    (raising its ValueError on infeasibility).
+    ``auto`` picks by child count: the streaming V1 kernel at C <= 64
+    (its coefficient stream pipelines well and measured slightly faster
+    at shallow n_split), the resident lattice kernel beyond (its O(C)
+    shift gathers replace V1's O(C^2) one-hot matmuls, and V1's large-C
+    configurations have crashed the TPU AOT compiler).  Falls through to
+    the other kernel on infeasibility, then to None (the XLA stencil
+    path).  ``resident``/``stream`` force one implementation (raising
+    its ValueError on infeasibility).
     """
     if impl == "resident":
         return PhaseOperatorResident(op, interpret=interpret)
@@ -707,12 +708,12 @@ def make_phase(op: StencilOperator, interpret: bool = False,
         return PhaseOperator(op, interpret=interpret)
     if impl != "auto":
         raise ValueError(f"unknown phase_impl {impl!r}")
-    try:
-        return PhaseOperator(op, interpret=interpret)
-    except ValueError:
-        pass
-    try:
-        return PhaseOperatorResident(op, interpret=interpret)
-    except ValueError as e:
-        print(f"pallas_phase disabled: {e}")
-        return None
+    order = ([PhaseOperator, PhaseOperatorResident] if op.C <= 64
+             else [PhaseOperatorResident, PhaseOperator])
+    for cls in order:
+        try:
+            return cls(op, interpret=interpret)
+        except ValueError as e:
+            err = e
+    print(f"pallas_phase disabled: {err}")
+    return None
