@@ -708,7 +708,12 @@ def make_phase(op: StencilOperator, interpret: bool = False,
         return PhaseOperator(op, interpret=interpret)
     if impl != "auto":
         raise ValueError(f"unknown phase_impl {impl!r}")
-    order = ([PhaseOperator, PhaseOperatorResident] if op.C <= 64
+    # streaming preferred only where it is both the faster kernel (small
+    # C) and on safe shapes: its single-tile configurations at
+    # U % 128 != 0 have crashed the TPU AOT compiler (the resident
+    # kernel handles those shapes fine)
+    stream_ok = op.C <= 64 and op.U % 128 == 0
+    order = ([PhaseOperator, PhaseOperatorResident] if stream_ok
              else [PhaseOperatorResident, PhaseOperator])
     for cls in order:
         try:
