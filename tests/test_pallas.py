@@ -88,22 +88,28 @@ def test_phase_impls_match_stencil(impl, n_split):
 
 
 def test_auto_selection():
-    """auto: streaming V1 at shallow split (faster there), resident at
-    deep split where streaming runs out of VMEM."""
-    solver = _solver(True)
-    assert all(type(p).__name__ == "PhaseOperator"
-               for p in solver._phase)
+    """auto: streaming V1 only on its safe+fast shapes (C <= 64 AND a
+    lane-tileable macro axis); the resident lattice kernel otherwise."""
     from p_a_multigrids_tpu.ops import pallas_stencil as _ps
-    deep = _solver(False, n_split=3, levels=1)
-    op = deep._stencil[0]
-    # force the streaming kernel into infeasibility via a tiny budget
-    old = _ps.PhaseOperator.VMEM_BUDGET
-    try:
-        _ps.PhaseOperator.VMEM_BUDGET = 1024
-        ph = _ps.make_phase(op, interpret=True, impl="auto")
-        assert type(ph).__name__ == "PhaseOperatorResident"
-    finally:
-        _ps.PhaseOperator.VMEM_BUDGET = old
+    # zoo mesh: U=12 is not lane-tileable -> resident
+    solver = _solver(True)
+    assert all(type(p).__name__ == "PhaseOperatorResident"
+               for p in solver._phase)
+    # lane-tileable U + small C -> streaming
+    from p_a_multigrids_tpu.config import SemiConfig
+    from p_a_multigrids_tpu.mesh import structured
+    mesh = structured.tri_mesh(16, 4, 0.25, 0.25)      # U = 128
+    cfg = SemiConfig(n_split=2, multi_levels=1, dt=0.05,
+                     dtype="float64", pallas_phase=True)
+    s2 = msemi.SemiSolver(msemi.build_problem(mesh, cfg))
+    assert type(s2._phase[0]).__name__ == "PhaseOperator"
+    # deep split (C > 64) -> resident even on tileable U
+    ph = _ps.make_phase(s2._stencil[0], interpret=True, impl="auto")
+    assert type(ph).__name__ == "PhaseOperator"
+    cfg3 = SemiConfig(n_split=4, multi_levels=1, dt=0.05,
+                      dtype="float64", pallas_phase=True)
+    s3 = msemi.SemiSolver(msemi.build_problem(mesh, cfg3))
+    assert type(s3._phase[0]).__name__ == "PhaseOperatorResident"
 
 
 def test_phase_after_rcm_reorder():
