@@ -68,6 +68,35 @@ def main(argv=None):
                     help="wrap the solve in a jax.profiler trace written "
                          "to DIR (view with TensorBoard; the gprof/"
                          "callgrind equivalent, reference Makefile:4-8)")
+    # -- production solver surface (semi modes) -----------------------------
+    ap.add_argument("--solver", type=str, default=None,
+                    choices=["jacobi", "richardson", "gauss_seidel",
+                             "block_jacobi", "chebyshev", "direct"],
+                    help="smoother/solver kind (default chebyshev)")
+    ap.add_argument("--krylov", action="store_true",
+                    help="V-cycle-preconditioned PCG/BiCGStab per step")
+    ap.add_argument("--krylov-tol", type=float, default=1e-8)
+    ap.add_argument("--amg", action="store_true",
+                    help="strength-filtered smoothed-aggregation correction "
+                         "of the finest level (the production configuration "
+                         "on anisotropic meshes)")
+    ap.add_argument("--agg-strength", type=float, default=0.4)
+    ap.add_argument("--cheb-degree", type=int, default=6)
+    ap.add_argument("--cheb-lower", type=float, default=0.1)
+    ap.add_argument("--cycle-type", type=str, default="v",
+                    choices=["v", "w"])
+    ap.add_argument("--restrictor", type=str, default="linear",
+                    choices=["linear", "corner_average"])
+    ap.add_argument("--no-surface-terms", action="store_true",
+                    help="disable DG face terms (the reference's active "
+                         "mode-9 configuration, transport_tri_semi.F90:"
+                         "619-688 commented out)")
+    ap.add_argument("--omega", type=float, default=0.8)
+    ap.add_argument("--n-smooth", type=int, default=4)
+    ap.add_argument("--n-multigrid", type=int, default=2)
+    ap.add_argument("--devices", type=int, default=0, metavar="N",
+                    help="mode 9: shard the solve over N devices with the "
+                         "distributed stencil solver (0 = serial)")
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the JAX_PLATFORMS env var "
@@ -120,6 +149,30 @@ def main(argv=None):
         out["profile_dir"] = args.profile
     ctx_stack = contextlib.ExitStack()
     ctx_stack.enter_context(prof_ctx)
+    try:
+        out, coords, vals = _dispatch(args, out, dtype, load_mesh,
+                                      problem_fns)
+    finally:
+        # the profiler trace must close even when a solve raises, or the
+        # trace directory is left incomplete
+        ctx_stack.close()
+    out["wall_s"] = round(time.time() - t0, 3)
+    if args.vtu:
+        from .io import vtu as vtu_io
+        fields = {"Tracer": vals}
+        vtu_io.write_vtu(args.vtu, coords, fields,
+                         cell_type=9 if args.mode == 1 else 5)
+        out["vtu"] = args.vtu
+    print(json.dumps(out))
+
+
+def _dispatch(args, out, dtype, load_mesh, problem_fns):
+    import dataclasses
+
+    import numpy as np
+
+    from .config import Physics, RectConfig, SemiConfig, Solver, \
+        TransportConfig
     if args.mode == 1:
         from .models import transport_rect
         cfg = RectConfig(no_ele_row=args.rows, no_ele_col=args.cols,
@@ -157,13 +210,23 @@ def main(argv=None):
         cfg = SemiConfig(
             n_split=args.n_split, multi_levels=args.levels,
             ntime=args.ntime, dt=args.dt or 1.25e-5, theta=args.theta,
+            n_multigrid=args.n_multigrid, n_smooth=args.n_smooth,
+            omega=args.omega, cheb_degree=args.cheb_degree,
+            cheb_lower=args.cheb_lower, cycle_type=args.cycle_type,
+            restrictor=args.restrictor, krylov=args.krylov,
+            krylov_tol=args.krylov_tol, amg=args.amg,
+            agg_strength=args.agg_strength,
             physics=Physics(k=args.k, u=tuple(args.u),
-                            advection=any(args.u)),
+                            advection=any(args.u),
+                            surface_terms=not args.no_surface_terms),
             fns=fns, manufactured=all(
                 v is None for v in (args.ic, args.bc, args.source)),
             dtype=dtype, debug=args.debug)
+        if args.solver:
+            cfg = dataclasses.replace(cfg, solver=Solver(args.solver))
+        if args.devices and args.mode == 9:
+            return _run_distributed(args, out, mesh, cfg)
         if args.mode == 7:
-            import dataclasses
             cfg = dataclasses.replace(
                 cfg, theta=0.0, multi_levels=1, n_multigrid=1, n_smooth=1,
                 omega=1.0, solver=Solver.BLOCK_JACOBI)
@@ -247,16 +310,47 @@ def main(argv=None):
         vals = np.asarray(T).reshape(-1, 3)
     else:
         raise SystemExit(f"unknown mode {args.mode}")
+    return out, coords, vals
 
-    ctx_stack.close()
-    out["wall_s"] = round(time.time() - t0, 3)
-    if args.vtu:
-        from .io import vtu as vtu_io
-        fields = {"Tracer": vals}
-        vtu_io.write_vtu(args.vtu, coords, fields,
-                         cell_type=9 if args.mode == 1 else 5)
-        out["vtu"] = args.vtu
-    print(json.dumps(out))
+
+def _run_distributed(args, out, mesh, cfg):
+    """--devices N entry: mode 9 through DistributedStencilSolver.
+
+    The sharded solver pads the macro axis and reorders elements (RCM), so
+    VTU/error output goes through its own to_std()/error() helpers.
+    """
+    import numpy as np
+
+    import jax
+
+    from .io import vtu as vtu_io
+    from .parallel.stencil_solver import DistributedStencilSolver
+
+    devices = jax.devices()[: args.devices]
+    if len(devices) < args.devices:
+        raise SystemExit(f"--devices {args.devices}: only {len(devices)} "
+                         f"available")
+    solver = DistributedStencilSolver(mesh, cfg, devices=devices)
+    T_t = solver.initial_condition()
+    start = 0
+    import os
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        T_t, start = solver.load_checkpoint(args.checkpoint)
+        out["resumed_from_step"] = start
+    for step in range(start, cfg.ntime):
+        T_t = solver.step(T_t)
+        if args.checkpoint and ((step + 1) % args.checkpoint_every == 0
+                                or step + 1 == cfg.ntime):
+            solver.save_checkpoint(args.checkpoint, T_t, step + 1)
+    err = solver.error(T_t)
+    out.update(devices=len(devices), elements=mesh.num_elements,
+               children=4 ** cfg.n_split, L1_error=float(err.mean()))
+    # coords in the SOLVER's (reordered, padding-stripped) macro order so
+    # they match the returned values row for row
+    coords = vtu_io.semi_coords(solver.p.grid.macro.X, cfg.n_split)
+    coords = coords[: solver.n_active * 4 ** cfg.n_split]
+    vals = solver.to_std(T_t).reshape(-1, 3)
+    return out, coords, vals
 
 
 if __name__ == "__main__":

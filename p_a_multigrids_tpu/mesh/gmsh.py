@@ -92,6 +92,13 @@ def _read_msh_py(path: str) -> RawGmsh:
         base = 3 + ntags
         tris.append([int(parts[base]), int(parts[base + 1]),
                      int(parts[base + 2])])
-    triangles = np.asarray(tris, np.int32) - 1
+    triangles = np.asarray(tris, np.int32).reshape(-1, 3) - 1
+    # node-id validation (the native scanner's check, duplicated here so a
+    # corrupt file still fails loudly after the Python fallback: id 0 would
+    # otherwise wrap to the last vertex as index -1)
+    if len(triangles) and (triangles.min() < 0
+                           or triangles.max() >= nnodes):
+        raise ValueError(f"{path}: triangle node id out of range "
+                         f"1..{nnodes}")
     region_id = np.asarray(regions, np.int32)
     return RawGmsh(vertices=vertices, triangles=triangles, region_id=region_id)

@@ -466,7 +466,12 @@ def _mk_rowop(cols: np.ndarray, vals: np.ndarray, n_out: int, n_src: int,
     any_pallas = False
     for k0 in range(0, D, kchunk):
         kc = min(kchunk, D - k0)
-        cols_p = np.zeros((n_op, kc), np.int64)      # pad rows read src 0
+        # pad rows repeat the LAST REAL row's columns (vals stay zero): a
+        # pad column of 0 would stretch the tail tiles' band from group 0
+        # to their real columns, blowing the banded kernel's VMEM check
+        # and silently dropping the whole chunk to the XLA gather path
+        cols_p = np.broadcast_to(cols[-1:, k0:k0 + kc],
+                                 (n_op, kc)).copy()
         vals_p = np.zeros((n_op, kc, b, b), dtype)
         cols_p[:n_out] = cols[:, k0:k0 + kc]
         vals_p[:n_out] = vals[:, k0:k0 + kc]
