@@ -117,8 +117,28 @@ class AssembledSemiSolver(semi.SemiSolver):
     stencil path's smooth_jacobi in f64 (tests/test_assembled.py)."""
 
     def __init__(self, problem: semi.SemiProblem):
-        super().__init__(problem)
-        cfg = self.cfg
+        # SLIM setup — deliberately NOT super().__init__: mode 10 iterates
+        # only on the assembled fine operator, so the flagship's phase
+        # kernels, agg/AMG hierarchy, coarse dense inverse and spectral
+        # estimates are all dead weight here (VERDICT r3 weak #7).  Only
+        # the level-0 analytic stencil is built (host numpy) — it supplies
+        # the exact block diagonal and backs convergence()/diagnostics.
+        self.p = problem
+        self.cfg = cfg = problem.cfg
+        self._gather = semi.structured_gather
+        self._fused = None
+        self._phase = None
+        self._agg = None
+        self._agg_li = None
+        self._coarse_inv = self._coarse_inv_t = None
+        from ..ops import stencil as _st
+        dtype = jnp.dtype(cfg.dtype)
+        data0 = _st.build_stencil(problem.levels[0], cfg.physics, cfg.dt,
+                                  cfg.theta)
+        self._stencil = [_st.StencilOperator(data0, dtype)]
+        from ..ops import fused as _fused
+        self._fmod = _fused
+
         self.A_bsr = assemble_operator(problem.levels[0], cfg.physics,
                                        cfg.dt, cfg.theta)
         self.offset = affine_offset(problem.levels[0], cfg.physics, cfg.dt,
@@ -130,10 +150,16 @@ class AssembledSemiSolver(semi.SemiSolver):
         self._spmv = spmv_fast(self.A_bsr,
                                interpret=jax.default_backend() == "cpu",
                                group=C)
-        # the assembled step replaces the stencil V-cycle step built by
-        # super().__init__ (which stays available for diagnostics)
-        self._vcycle_step = self._step
         self._step = jax.jit(self._make_assembled_step())
+
+    def run(self, T=None, ntime: int | None = None):
+        """Time loop on the assembled step (the slim init builds no
+        transposed-cycle machinery, so bypass SemiSolver.run's fast path)."""
+        if T is None:
+            T = self.initial_condition()
+        for _ in range(ntime or self.cfg.ntime):
+            T = self._step(T)
+        return T
 
     def apply_assembled(self, T: jax.Array, with_bc: bool = True):
         U, C, n = T.shape

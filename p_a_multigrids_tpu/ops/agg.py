@@ -339,7 +339,7 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
             _mk = lambda *a: None
         else:
             def _mk(c, v, no, ns):
-                if no * c.shape[1] < 200_000:
+                if no * c.shape[1] < 100_000:
                     return None
                 return _mk_rowop(c, v, no, ns, dtype, interp)
         levels.append(AggLevel(
@@ -462,6 +462,14 @@ def _mk_rowop(cols: np.ndarray, vals: np.ndarray, n_out: int, n_src: int,
     n_op = 1024 * -(-max(n_out, 1024) // 1024)       # padded output rows
     n_sp = 1024 * -(-max(n_src, 1024) // 1024)       # padded source rows
     D = cols.shape[1]
+    # _ragged_to_padded pads short rows' empty SLOTS with column 0; a row
+    # near the end of the axis then stretches its tile's band to the whole
+    # source axis and the banded kernel fails its VMEM check (measured:
+    # the level-0 restriction ran the 11-ms XLA gather because of this).
+    # Point every zero-value slot at the row's first real column instead.
+    has = np.abs(vals).max(axis=(2, 3)) > 0          # (N, D)
+    first = cols[np.arange(cols.shape[0]), np.argmax(has, axis=1)]
+    cols = np.where(has, cols, first[:, None])
     fns = []
     any_pallas = False
     for k0 in range(0, D, kchunk):

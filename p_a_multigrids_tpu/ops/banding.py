@@ -16,7 +16,8 @@ import numpy as np
 
 
 def aligned_band(lo: np.ndarray, hi: np.ndarray, total: int,
-                 align: int, wstep: int = 128) -> tuple[int, np.ndarray]:
+                 align: int, wstep: int = 128,
+                 wmin: int = 0) -> tuple[int, np.ndarray]:
     """Width + per-tile aligned offsets covering ``[lo_t, hi_t]`` per tile.
 
     Args:
@@ -24,6 +25,8 @@ def aligned_band(lo: np.ndarray, hi: np.ndarray, total: int,
       total:  axis length (offsets satisfy ``off + W <= max(total, W)``)
       align:  required offset alignment
       wstep:  W granularity (the lane tile: 128)
+      wmin:   lower bound on W (distributed kernels unify the band width
+              across per-device tables so one static kernel serves all)
 
     Returns:
       (W, offs) with ``offs % align == 0`` everywhere, ``offs >= 0``,
@@ -32,11 +35,14 @@ def aligned_band(lo: np.ndarray, hi: np.ndarray, total: int,
     """
     lo = np.asarray(lo, np.int64)
     hi = np.asarray(hi, np.int64)
+    if wmin >= total:
+        return total, np.zeros_like(lo, np.int64)
     if hi.size == 0 or int(hi.max()) < 0:
-        return min(wstep, max(total, 1)), np.zeros_like(lo, np.int64)
+        return max(min(wstep, max(total, 1)), wmin), \
+            np.zeros_like(lo, np.int64)
     offs = (lo // align) * align
     span = int((hi - offs).max()) + 1
-    W = -(-span // wstep) * wstep
+    W = max(-(-span // wstep) * wstep, wmin)
     if W >= total:
         return total, np.zeros_like(offs)
     # pull offsets back (in aligned steps) so the window stays inside the

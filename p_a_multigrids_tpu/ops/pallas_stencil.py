@@ -86,7 +86,8 @@ class PhaseOperator:
             f" MB VMEM (C={C}, U={U}) — falling back to the XLA stencil "
             f"path")
 
-    def __init__(self, op: StencilOperator, interpret: bool = False):
+    def __init__(self, op: StencilOperator, interpret: bool = False,
+                 wmin: int = 0):
         self.op = op
         self.interpret = interpret
         data = op._data
@@ -118,7 +119,7 @@ class PhaseOperator:
         from .banding import aligned_band
         lo = src_u.reshape(3, self.T, self.TU).min(axis=(0, 2))
         hi = src_u.reshape(3, self.T, self.TU).max(axis=(0, 2))
-        W, offs = aligned_band(lo, hi, U, self.ALIGN)
+        W, offs = aligned_band(lo, hi, U, self.ALIGN, wmin=wmin)
         self.W = W
         self.offs = offs.astype(np.int32)                    # (T,)
         self.src_rel = (src_u
@@ -142,9 +143,18 @@ class PhaseOperator:
             src_rel=self.src_rel,
             src_c=self.src_c,
         )
+        self._host = host
         for key, val in jax.device_put(host).items():
             setattr(self, key, val)
         self._calls: dict = {}
+
+    def arg_tables_host(self) -> dict:
+        """All per-mesh call-argument tables as HOST numpy arrays — the
+        distributed solver stacks these per device and feeds them back
+        through phase_with() inside shard_map."""
+        return dict(self._host, offs=self.offs,
+                    Fp_t=np.asarray(self.op._host["Fp_t"]),
+                    intra_oh=np.asarray(self.op._host["intra_oh"]))
 
     # -- kernel --------------------------------------------------------------
     def _kernel(self, offs_ref, coefs_ref, x0_ref, bp_ref, Fp_ref, Xp_ref,
@@ -293,14 +303,23 @@ class PhaseOperator:
           (x_new, z) with z = D^-1 (b - A x_new) — multiply by the self
           blocks (StencilOperator.mul_self) to get the true residual.
         """
+        tabs = dict(offs=jnp.asarray(self.offs), Fp_t=self.Fp_t,
+                    Xp_g=self.Xp_g, src_rel=self.src_rel, src_c=self.src_c,
+                    intra_oh=self.intra_oh, cross_oh=self.cross_oh)
+        return self.phase_with(tabs, x_t, bp_t, coefs)
+
+    def phase_with(self, tabs: dict, x_t, bp_t, coefs):
+        """phase() with the per-mesh tables passed explicitly — lets the
+        distributed solver reuse ONE kernel with per-device (extended-
+        domain) tables inside shard_map."""
         n_rounds = len(coefs) + 2
         coefs_arr = jnp.asarray(
             np.concatenate([[0.0], np.asarray(coefs, np.float64), [0.0]])
             .astype(self.dtype))
         call = self._call(n_rounds)
-        x_new, z = call(jnp.asarray(self.offs), coefs_arr, x_t, bp_t,
-                        self.Fp_t, self.Xp_g, self.src_rel, self.src_c,
-                        self.intra_oh, self.cross_oh)
+        x_new, z = call(tabs["offs"], coefs_arr, x_t, bp_t,
+                        tabs["Fp_t"], tabs["Xp_g"], tabs["src_rel"],
+                        tabs["src_c"], tabs["intra_oh"], tabs["cross_oh"])
         return x_new, z
 
     def mul_self(self, z_t):
@@ -388,7 +407,8 @@ class PhaseOperatorResident(PhaseOperator):
     # resident coefficient arrays live against it)
     VMEM_LIMIT = 110 * 1024 * 1024
 
-    def __init__(self, op: StencilOperator, interpret: bool = False):
+    def __init__(self, op: StencilOperator, interpret: bool = False,
+                 wmin: int = 0):
         # deliberately NOT calling super().__init__: the streaming kernel's
         # table construction (and its VMEM check) does not apply here
         self.op = op
@@ -442,7 +462,7 @@ class PhaseOperatorResident(PhaseOperator):
         self.T = U // self.TU
         lo = src_u.reshape(3, self.T, self.TU).min(axis=(0, 2))
         hi = src_u.reshape(3, self.T, self.TU).max(axis=(0, 2))
-        W, offs = aligned_band(lo, hi, U, self.ALIGN)
+        W, offs = aligned_band(lo, hi, U, self.ALIGN, wmin=wmin)
         self.W = W
         self.offs = offs.astype(np.int32)
         self.src_rel = (src_u - offs[(np.arange(U) // self.TU)][None]
@@ -479,10 +499,14 @@ class PhaseOperatorResident(PhaseOperator):
             src_rel=self.src_rel,
             src_cp=qpos[src_c].astype(np.int32),             # (3, m, U)
         )
+        self._host = host
         for key, val in jax.device_put(host).items():
             setattr(self, key, val)
         self.S_t = op.S_t                                    # for mul_self
         self._calls: dict = {}
+
+    def arg_tables_host(self) -> dict:
+        return dict(self._host, offs=self.offs)
 
     def _pick_tu_res(self, U: int) -> int:
         cands = [tu for tu in (128, 256, 384, 512) if U % tu == 0]
@@ -673,6 +697,13 @@ class PhaseOperatorResident(PhaseOperator):
 
     def phase(self, x_t, bp_t, coefs):
         """Same contract as PhaseOperator.phase: (3, C, U) in/out."""
+        tabs = dict(offs=jnp.asarray(self.offs), Fp_pad=self.Fp_pad,
+                    Xp_g=self.Xp_g, pack_oh=self.pack_oh,
+                    cross_oh_pad=self.cross_oh_pad, masks=self.masks,
+                    src_rel=self.src_rel, src_cp=self.src_cp)
+        return self.phase_with(tabs, x_t, bp_t, coefs)
+
+    def phase_with(self, tabs: dict, x_t, bp_t, coefs):
         n_rounds = len(coefs) + 2
         coefs_arr = jnp.asarray(
             np.concatenate([[0.0], np.asarray(coefs, np.float64), [0.0]])
@@ -682,15 +713,15 @@ class PhaseOperatorResident(PhaseOperator):
         pad = jnp.zeros((3, self.Cp, self.U), x_t.dtype)
         x_pad = pad.at[:, perm].set(x_t)
         bp_pad = pad.at[:, perm].set(bp_t)
-        x_new, z = call(jnp.asarray(self.offs), coefs_arr, x_pad, bp_pad,
-                        self.Fp_pad, self.Xp_g, self.pack_oh,
-                        self.cross_oh_pad, self.masks, self.src_rel,
-                        self.src_cp)
+        x_new, z = call(tabs["offs"], coefs_arr, x_pad, bp_pad,
+                        tabs["Fp_pad"], tabs["Xp_g"], tabs["pack_oh"],
+                        tabs["cross_oh_pad"], tabs["masks"],
+                        tabs["src_rel"], tabs["src_cp"])
         return x_new[:, perm], z[:, perm]
 
 
 def make_phase(op: StencilOperator, interpret: bool = False,
-               impl: str = "auto"):
+               impl: str = "auto", wmin: int = 0):
     """Best available fused phase kernel for one level's operator.
 
     ``auto`` picks by child count: the streaming V1 kernel at C <= 64
@@ -703,9 +734,9 @@ def make_phase(op: StencilOperator, interpret: bool = False,
     its ValueError on infeasibility).
     """
     if impl == "resident":
-        return PhaseOperatorResident(op, interpret=interpret)
+        return PhaseOperatorResident(op, interpret=interpret, wmin=wmin)
     if impl == "stream":
-        return PhaseOperator(op, interpret=interpret)
+        return PhaseOperator(op, interpret=interpret, wmin=wmin)
     if impl != "auto":
         raise ValueError(f"unknown phase_impl {impl!r}")
     # streaming preferred only where it is both the faster kernel (small
@@ -717,7 +748,7 @@ def make_phase(op: StencilOperator, interpret: bool = False,
              else [PhaseOperatorResident, PhaseOperator])
     for cls in order:
         try:
-            return cls(op, interpret=interpret)
+            return cls(op, interpret=interpret, wmin=wmin)
         except ValueError as e:
             err = e
     print(f"pallas_phase disabled: {err}")

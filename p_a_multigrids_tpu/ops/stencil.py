@@ -453,6 +453,9 @@ class StencilOperator:
             Dinv_t=t(Dinv.transpose(2, 3, 1, 0)),                # (3,3,C,U)
         )
         host.update(self._strip_tables(data, hs, dtype))
+        # host mirrors kept for consumers that restack tables per device
+        # (parallel/stencil_solver's extended-domain kernels)
+        self._host = host
         for key, val in jax.device_put(host).items():
             setattr(self, key, val)
         self._dinv_np = Dinv

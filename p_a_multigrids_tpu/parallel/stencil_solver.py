@@ -3,28 +3,39 @@
 Shards the transposed block-stencil operator (ops/stencil) over a 1-D
 device mesh along the macro axis, after RCM-ordering the macro elements so
 every element's cross-macro strip sources lie within a band of width W
-(measured 63 on untitled8192).  The halo exchange is then exactly two
-neighbor ``ppermute``s per operator application: each device sends its
-first/last W packed strip rows to its ring neighbors — the TPU-native form
-of the reference's ``update_overlaps`` boundary-strip writes
-(/root/reference/splitting.F90:1210-1398) — and the exchange is issued
-before the interior volume/intra-macro work so XLA overlaps the ICI
-transfer with the independent FMAs (double-buffering falls out of the
-dependency graph).
+(measured 63 on untitled8192).  The halo exchange is then a handful of
+neighbor ``ppermute``s per operator application — the TPU-native form of
+the reference's ``update_overlaps`` boundary-strip writes
+(/root/reference/splitting.F90:1210-1398).
+
+Round 4 makes the PRODUCTION configuration multi-chip (VERDICT r3 #1):
+
+- **Fused Pallas phase kernels inside shard_map** via extended domains:
+  each device holds its U_loc macros plus a halo of ``He = (rounds+1) * W``
+  macros on each side.  One ring exchange fills the halo, then the
+  unmodified serial phase kernel (ops/pallas_stencil) runs all rounds of a
+  smoothing phase on the extended domain — halo rows are smoothed
+  redundantly, and after R rounds the interior U_loc rows are BIT-EXACTLY
+  what the serial kernel produces (the classic deep-ghost-zone trick;
+  overhead 2*He/U_loc vanishes at production per-chip sizes).  Per-device
+  extended coefficient tables are stacked on a leading device axis and fed
+  through ``PhaseOperator.phase_with`` as sharded arguments.
+- **Distributed smoothed-aggregation correction** (amg / coarse_agg): the
+  level-0 restriction runs as per-device partial products reduced by one
+  ``psum``; deeper (small) aggregation levels shard block rows and keep
+  the iterate replicated via ``all_gather`` after each apply — 1-D
+  row-parallel SpMV, no halo logic needed on the algebraic levels.
+- **k-hop ring halos** (``_ring_halo``): halo windows wider than one shard
+  no longer hard-fail; ``ceil(H / U_loc)`` neighbor ppermutes fill any
+  window (wrap-around blocks land only on positions that map to clamped
+  out-of-domain rows, which nothing reads).
 
 Everything else is macro-local: multigrid transfers never communicate, and
 the coarsest solve either runs replicated (dense inverse after one
 all_gather) or smooths shard-locally.
-
-This replaces the round-1 distributed path (parallel/solver.py, kept as
-the bit-exact reference implementation) whose every halo was a blocking
-all-to-all ``all_gather`` around the SLOW einsum operator.
 """
 
 from __future__ import annotations
-
-import dataclasses
-import functools
 
 import numpy as np
 
@@ -35,6 +46,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import SemiConfig, Solver
 from ..mesh import splitting, topology
 from ..models import semi
+from ..ops.stencil import StencilData, StencilOperator
 from . import partition
 
 _AXIS = "dp"
@@ -106,20 +118,43 @@ def _level_tables(op, U_loc: int, dtype):
     return tabs, specs, meta
 
 
+def _ring_halo(x, H: int, n_dev: int, axis: int = -1):
+    """(left, right) width-H halos along ``axis`` via k-hop ring ppermutes.
+
+    ``ceil(H / U_loc)`` neighbor hops per side; blocks that wrap around the
+    ring carry garbage, but they land only on positions that map (after the
+    extended-domain clamp) to out-of-domain rows, which nothing reads —
+    see the module docstring.  This is the relaxation of round 3's hard
+    ``W <= U_loc`` constraint (VERDICT r3 #7).
+    """
+    x = jnp.moveaxis(x, axis, -1)
+    U_loc = x.shape[-1]
+    hops = -(-H // U_loc)
+    fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]
+    bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]
+    lt, rt = [], []
+    cl = cr = x
+    for _ in range(hops):
+        cl = jax.lax.ppermute(cl, _AXIS, fwd)      # block of d-1, d-2, ...
+        lt.append(cl)
+        cr = jax.lax.ppermute(cr, _AXIS, bwd)      # block of d+1, d+2, ...
+        rt.append(cr)
+    left = jnp.concatenate(lt[::-1], axis=-1)[..., -H:]
+    right = jnp.concatenate(rt, axis=-1)[..., :H]
+    return (jnp.moveaxis(left, -1, axis), jnp.moveaxis(right, -1, axis))
+
+
 def _strip(tab, meta, x_t, W: int, n_dev: int):
     """Window halo exchange + local strip selection -> (3, nb, U_loc).
 
-    Two neighbor ppermutes of the packed strip rows; issued first so XLA
-    overlaps the ICI transfer with the interior compute that follows.
+    Ring ppermutes of the packed strip rows; issued first so XLA overlaps
+    the ICI transfer with the interior compute that follows.
     """
     nbc, m = meta["nbc"], meta["m"]
     U_loc = x_t.shape[-1]
     sp = x_t[:, tab["pack_rows"], :]                     # (3, nbc, U_loc)
     rows = sp.reshape(3 * nbc, U_loc).T                  # (U_loc, 3*nbc)
-    fwd = [(d, (d + 1) % n_dev) for d in range(n_dev)]
-    bwd = [(d, (d - 1) % n_dev) for d in range(n_dev)]
-    from_left = jax.lax.ppermute(rows[-W:], _AXIS, fwd)
-    from_right = jax.lax.ppermute(rows[:W], _AXIS, bwd)
+    from_left, from_right = _ring_halo(rows, W, n_dev, axis=0)
     rows_ext = jnp.concatenate([from_left, rows, from_right], axis=0)
     g = rows_ext[tab["win_src"] + W]                     # (3, U_loc, 3nbc)
     g = g.reshape(3, U_loc, 3, nbc)
@@ -173,6 +208,28 @@ def _sweep(tab, meta, x_t, bp_t, coefs, W, n_dev):
     return x_t
 
 
+def _ext_data(data: StencilData, U: int, C: int, lo: int,
+              U_ext: int) -> StencilData:
+    """Per-device extended-domain slice of a level's stencil blocks.
+
+    Rows are globals ``clamp(lo + [0, U_ext), 0, U-1)``; out-of-domain
+    positions duplicate edge rows — their outputs are discarded and (by
+    construction of the remapped halo_src) their values are never read by
+    interior rows.
+    """
+    rows = np.clip(np.arange(lo, lo + U_ext), 0, U - 1)
+    hs = np.asarray(data.halo_src)[rows]                 # (U_ext, nb) global
+    src_u = np.clip(hs // C - lo, 0, U_ext - 1)          # ext coords
+    hs_ext = src_u * C + hs % C
+    return StencilData(
+        self_blocks=data.self_blocks[rows],
+        face_blocks=data.face_blocks[rows],
+        cross_blocks=data.cross_blocks[rows],
+        c_aff=data.c_aff[rows], halo_src=hs_ext,
+        bnd_c=data.bnd_c, bnd_f=data.bnd_f,
+        intra_onehot=data.intra_onehot, cross_onehot=data.cross_onehot)
+
+
 class DistributedStencilSolver:
     """Sharded counterpart of SemiSolver's transposed stencil V-cycle."""
 
@@ -191,28 +248,23 @@ class DistributedStencilSolver:
         self.U = mesh.num_elements
         self.U_loc = self.U // D
 
-        # the sharded cycle runs the XLA stencil path (the fused Pallas
-        # kernel assumes whole-mesh VMEM residency) and handles its own
-        # coarse solve (replicated dense inverse / distributed CG) — no
-        # host-side agg hierarchy inside shard_map yet
-        cfg = dataclasses.replace(cfg, pallas_phase=False, coarse_agg=False)
         self.cfg = cfg
         self.p = semi.build_problem(mesh, cfg)
+        # the serial twin builds the SAME algorithm (incl. phase kernels and
+        # the agg/AMG hierarchy) — parity tests compare against it, and the
+        # distributed tables below are derived from its stencil/agg data
         self.serial = semi.SemiSolver(self.p)
         if self.serial._stencil is None:
             raise ValueError("stencil operator disabled for this config")
 
         dtype = np.dtype(cfg.dtype)
+        self.dtype = dtype
         built = [_level_tables(op, self.U_loc, dtype)
                  for op in self.serial._stencil]
         self.tabs = [b[0] for b in built]
         self.specs = [b[1] for b in built]
         self.meta = [b[2] for b in built]
         self.W = max(b[2]["W"] for b in built)
-        if self.W > self.U_loc:
-            raise ValueError(
-                f"halo window W={self.W} exceeds block size {self.U_loc}; "
-                f"use fewer devices or a larger mesh")
         # fine-level mass + source for the RHS
         L0np = self.p.levels[0]["_np"]
         self.tabs[0]["M_t"] = np.asarray(L0np["M"].transpose(1, 2, 0), dtype)
@@ -231,16 +283,191 @@ class DistributedStencilSolver:
         self._coefs_coarse = self.serial._phase_coefs(
             nl - 1, cfg.coarse_sweeps if nl > 1 else cfg.n_smooth)
 
+        self._agg_li = self.serial._agg_li
+        self._phases = self._build_phases()
+        self._atabs_host, self._aspecs, self._ameta = self._build_agg_dist()
+
         self._put_tables()
         self._step = self._build_step()
+
+    # -- setup: extended-domain phase kernels --------------------------------
+    def _build_phases(self):
+        """Per-level fused Pallas phase kernels for the sharded cycle.
+
+        Returns a list (per level) of ``dict(ker, He, tabs, specs)`` or
+        None entries; ``tabs`` are the per-device extended-domain tables
+        stacked on a leading device axis.
+        """
+        cfg = self.cfg
+        interp = jax.default_backend() == "cpu"
+        use = cfg.pallas_phase
+        if use is None:
+            use = not interp
+        if not use:
+            return None
+        from ..ops import pallas_stencil as _ps
+        nl = len(self.serial._stencil)
+        out = []
+        for li, op in enumerate(self.serial._stencil):
+            R = len(self._coefs[li])
+            if li == nl - 1:
+                R = max(R, len(self._coefs_coarse))
+            Wr = self.meta[li]["W"]
+            # halo depth: (rounds + 1) bands of reach Wr, capped at the
+            # whole mesh (beyond which extension is pure clamp padding)
+            He = 0 if self.D == 1 else min((R + 1) * Wr, self.U)
+            U_ext = self.U_loc + 2 * He
+            try:
+                kers = None
+                wmin = 0
+                for _ in range(6):
+                    ops_d = [StencilOperator(
+                        _ext_data(op._data, self.U, op.C,
+                                  d * self.U_loc - He, U_ext), self.dtype)
+                        for d in range(self.D)]
+                    kers = [_ps.make_phase(o, interpret=interp,
+                                           impl=cfg.phase_impl, wmin=wmin)
+                            for o in ops_d]
+                    if any(k is None for k in kers):
+                        raise ValueError("no feasible phase kernel")
+                    assert len({type(k) for k in kers}) == 1, \
+                        "per-device kernels picked different impls"
+                    Ws = {k.W for k in kers}
+                    if len(Ws) == 1:
+                        break
+                    wmin = max(Ws)
+                else:
+                    raise ValueError("band width did not unify across "
+                                     "devices")
+            except ValueError as e:
+                print(f"distributed pallas_phase disabled at level {li}: "
+                      f"{e}")
+                out.append(None)
+                continue
+            host = [k.arg_tables_host() for k in kers]
+            stacked = {key: np.stack([h[key] for h in host])
+                       for key in host[0]}
+            specs = {key: P(_AXIS) for key in stacked}
+            out.append(dict(ker=kers[0], He=He, tabs=stacked, specs=specs))
+        if all(p is None for p in out):
+            return None
+        return out
+
+    # -- setup: distributed aggregation hierarchy ----------------------------
+    def _build_agg_dist(self):
+        """Per-device tables for the SA correction inside shard_map.
+
+        Level-0 transfers: restriction as per-device partial products over
+        local fine columns (compacted slots) reduced by psum; prolongation
+        as a local fine-row slice reading the replicated coarse iterate.
+        Aggregation levels: block rows sharded (padded to D), iterate
+        replicated via all_gather.
+        """
+        h = self.serial._agg
+        if h is None:
+            return None, None, None
+        D = self.D
+        dt = self.dtype
+        li = self._agg_li
+        C_li = self.meta[li]["C"]
+        E = self.U * C_li
+        E_loc = self.U_loc * C_li
+
+        lvl0 = h.levels[0]
+        r_cols = np.asarray(lvl0.r_cols)                 # (na, Dr) fine ids
+        r_vals = np.asarray(lvl0.r_vals)
+        na = lvl0.n
+        N0 = len(np.asarray(lvl0.cols))
+        # compacted per-device restriction slots (only local fine columns)
+        own = r_cols // E_loc                            # (na, Dr) device of
+        counts = np.stack([(own == d).sum(axis=1) for d in range(D)])
+        Dr_c = max(int(counts.max()), 1)
+        Npad0 = D * (-(-N0 // D))
+        rc_cols = np.zeros((D, Npad0, Dr_c), np.int32)
+        rc_vals = np.zeros((D, Npad0, Dr_c, 3, 3), dt)
+        for d in range(D):
+            for a in range(na):
+                sl = np.nonzero(own[a] == d)[0]
+                rc_cols[d, a, :len(sl)] = r_cols[a, sl] - d * E_loc
+                rc_vals[d, a, :len(sl)] = r_vals[a, sl]
+        p_cols = np.asarray(lvl0.p_cols)                 # (E, Dp) agg ids
+        p_vals = np.asarray(lvl0.p_vals)
+        l0 = dict(
+            r_cols=rc_cols, r_vals=rc_vals,
+            p_cols=p_cols.reshape(D, E_loc, -1).astype(np.int32),
+            p_vals=p_vals.reshape(D, E_loc, *p_vals.shape[1:]).astype(dt))
+        l0_specs = {k: P(_AXIS) for k in l0}
+
+        levels = []
+        lvl_specs = []
+        meta_lv = []
+        from ..ops.stencil import inv3x3
+        for k, lvl in enumerate(h.levels):
+            n = lvl.n
+            N_loc = -(-n // D)
+            Npad = D * N_loc
+            cols = np.asarray(lvl.cols)
+            vals = np.asarray(lvl.vals)
+            dinv = np.asarray(lvl.dinv)
+
+            def pad_rows(a):
+                padded = np.zeros((Npad,) + a.shape[1:], a.dtype)
+                padded[:n] = a
+                return padded.reshape(D, N_loc, *a.shape[1:])
+
+            t = dict(cols=pad_rows(cols).astype(np.int32),
+                     vals=pad_rows(vals).astype(dt),
+                     dinv=pad_rows(dinv).astype(dt))
+            if k > 0:
+                prev = h.levels[k - 1]
+                n_prev = prev.n
+                Np_loc = -(-n_prev // D)
+                rr = np.asarray(lvl.r_cols)              # (n, Dr) prev ids
+                rv = np.asarray(lvl.r_vals)
+                t["r_cols"] = pad_rows(rr).astype(np.int32)
+                t["r_vals"] = pad_rows(rv).astype(dt)
+                pp = np.asarray(lvl.p_cols)              # (n_prev, Dp)
+                pv = np.asarray(lvl.p_vals)
+                padded = np.zeros((D * Np_loc,) + pp.shape[1:], pp.dtype)
+                padded[:n_prev] = pp
+                t["p_cols"] = padded.reshape(
+                    D, Np_loc, *pp.shape[1:]).astype(np.int32)
+                padded = np.zeros((D * Np_loc,) + pv.shape[1:], pv.dtype)
+                padded[:n_prev] = pv
+                t["p_vals"] = padded.reshape(
+                    D, Np_loc, *pv.shape[1:]).astype(dt)
+            levels.append(t)
+            lvl_specs.append({key: P(_AXIS) for key in t})
+            meta_lv.append(dict(n=n, N_loc=N_loc,
+                                omega=min(lvl.omega, h.omega)))
+
+        at = dict(l0=l0, levels=levels)
+        specs = dict(l0=l0_specs, levels=lvl_specs)
+        if h.coarse_inv is not None:
+            at["coarse_inv"] = np.asarray(h.coarse_inv)
+            at["coarse_scale"] = np.asarray(h.coarse_scale)
+            specs["coarse_inv"] = P()
+            specs["coarse_scale"] = P()
+        meta = dict(levels=meta_lv, sweeps=h.sweeps,
+                    cycles=self.cfg.agg_cycles, E_loc=E_loc, Npad0=Npad0)
+        return at, specs, meta
 
     def _put_tables(self):
         # one batched transfer for everything (per-array puts pay a full
         # round trip each on remote TPUs)
-        shardings = [
-            {k: NamedSharding(self.jmesh, specs[k]) for k in tabs}
-            for tabs, specs in zip(self.tabs, self.specs)]
-        self.tabs_dev = jax.device_put(self.tabs, shardings)
+        def shardings_of(specs):
+            return jax.tree.map(
+                lambda s: NamedSharding(self.jmesh, s), specs,
+                is_leaf=lambda x: isinstance(x, P))
+
+        payload = [self.tabs, [ph["tabs"] if ph else None
+                               for ph in (self._phases or [])],
+                   self._atabs_host]
+        specs = [self.specs, [ph["specs"] if ph else None
+                              for ph in (self._phases or [])],
+                 self._aspecs]
+        put = jax.device_put(payload, shardings_of(specs))
+        self.tabs_dev, self.ptabs_dev, self.atabs_dev = put
 
     # -- numerics (inside shard_map) ----------------------------------------
     def _bp(self, tab, b_t, with_bc):
@@ -263,13 +490,123 @@ class DistributedStencilSolver:
             maxiter=self.cfg.coarse_sweeps, dot=self._pdot)
         return x_sol
 
-    def _vcycle(self, tabs, li, x_t, b_t, hom: bool = False):
+    # -- phase kernel on the extended domain ---------------------------------
+    def _phase_dist(self, li, ptab, x_t, bp_t, coefs):
+        """One fused smoothing phase on this shard's extended domain.
+
+        Returns (x_new, z) interior slices; bit-exact vs the serial kernel
+        (halo rows are relaxed redundantly with identical arithmetic).
+        """
+        ph = self._phases[li]
+        ker, He = ph["ker"], ph["He"]
+        tabs = {k: v[0] for k, v in ptab.items()}        # squeeze dev axis
+        if He > 0:
+            xb = jnp.concatenate([x_t, bp_t], axis=0)    # (6, C, U_loc)
+            lh, rh = _ring_halo(xb, He, self.D, axis=-1)
+            x_ext = jnp.concatenate([lh[:3], x_t, rh[:3]], axis=-1)
+            bp_ext = jnp.concatenate([lh[3:], bp_t, rh[3:]], axis=-1)
+        else:
+            x_ext, bp_ext = x_t, bp_t
+        x_new, z = ker.phase_with(tabs, x_ext, bp_ext, coefs)
+        if He > 0:
+            x_new = x_new[:, :, He:He + self.U_loc]
+            z = z[:, :, He:He + self.U_loc]
+        return x_new, z
+
+    # -- distributed aggregation correction ----------------------------------
+    def _ag(self, y_loc):
+        return jax.lax.all_gather(y_loc, _AXIS, axis=0, tiled=True)
+
+    @staticmethod
+    def _rowop(cols, vals, x_rep):
+        return jnp.einsum("ndij,ndj->ni", vals, x_rep[cols])
+
+    def _agg_smooth(self, at, k, x_rep, b_rep, sweeps):
+        lvl = at["levels"][k]
+        mv = self._ameta["levels"][k]
+        w = jnp.asarray(mv["omega"], x_rep.dtype)
+        d = jax.lax.axis_index(_AXIS)
+        N_loc = mv["N_loc"]
+        b_loc = jax.lax.dynamic_slice_in_dim(b_rep, d * N_loc, N_loc)
+        for _ in range(sweeps):
+            r_loc = b_loc - self._rowop(lvl["cols"][0], lvl["vals"][0],
+                                        x_rep)
+            z_loc = jnp.einsum("nij,nj->ni", lvl["dinv"][0], r_loc)
+            x_rep = x_rep + w * self._ag(z_loc)
+        return x_rep
+
+    def _agg_vcycle(self, at, k, b_rep):
+        """Mirror of ops.agg.vcycle with sharded rows + replicated iterate."""
+        lvl = at["levels"][k]
+        mv = self._ameta["levels"][k]
+        sweeps = self._ameta["sweeps"]
+        x = jnp.zeros_like(b_rep)
+        x = self._agg_smooth(at, k, x, b_rep, sweeps)
+        d = jax.lax.axis_index(_AXIS)
+        N_loc = mv["N_loc"]
+        b_loc = jax.lax.dynamic_slice_in_dim(b_rep, d * N_loc, N_loc)
+        r_loc = b_loc - self._rowop(lvl["cols"][0], lvl["vals"][0], x)
+        if k + 1 < len(at["levels"]):
+            nxt = at["levels"][k + 1]
+            r_rep = self._ag(r_loc)
+            rc_loc = self._rowop(nxt["r_cols"][0], nxt["r_vals"][0], r_rep)
+            ec = self._agg_vcycle(at, k + 1, self._ag(rc_loc))
+            e_loc = self._rowop(nxt["p_cols"][0], nxt["p_vals"][0], ec)
+            x = x + self._ag(e_loc)
+        elif "coarse_inv" in at:
+            n = mv["n"]
+            r_rep = self._ag(r_loc)[:n]
+            rs = at["coarse_scale"] * r_rep.reshape(-1)
+            ec = (at["coarse_scale"] * (at["coarse_inv"] @ rs)).reshape(
+                n, 3)
+            x = x + jnp.zeros_like(x).at[:n].set(ec)
+        return self._agg_smooth(at, k, x, b_rep, sweeps)
+
+    def _agg_correct(self, at, x_t, r_t):
+        """SA correction of this level's local residual (3, C, U_loc)."""
+        C = r_t.shape[1]
+        U_loc = r_t.shape[2]
+        r_loc = jnp.transpose(r_t, (2, 1, 0)).reshape(U_loc * C, 3)
+        l0 = at["l0"]
+        part = self._rowop(l0["r_cols"][0], l0["r_vals"][0], r_loc)
+        rc = jax.lax.psum(part, _AXIS)                   # (Npad0, 3) repl.
+        e = self._agg_vcycle(at, 0, rc)
+        for _ in range(self._ameta["cycles"] - 1):
+            lvl0 = at["levels"][0]
+            a_loc = self._rowop(lvl0["cols"][0], lvl0["vals"][0], e)
+            e = e + self._agg_vcycle(at, 0, rc - self._ag(a_loc))
+        e_loc = self._rowop(l0["p_cols"][0], l0["p_vals"][0], e)
+        e_t = jnp.transpose(e_loc.reshape(U_loc, C, 3), (2, 1, 0))
+        return x_t + e_t
+
+    # -- V-cycle -------------------------------------------------------------
+    def _vcycle(self, tabs, ptabs, atabs, li, x_t, b_t, hom: bool = False):
         cfg = self.cfg
         nl = len(tabs)
         with_bc = li == 0 and not hom
         tab, meta = tabs[li], self.meta[li]
         W, D = self.W, self.D
         bp = self._bp(tab, b_t, with_bc)
+        ph = (self._phases[li] if self._phases is not None else None)
+        pt = ptabs[li] if ph is not None else None
+        agg_here = atabs is not None and li == self._agg_li
+
+        def smooth(x, coefs, want_z=False):
+            if ph is not None:
+                x, z = self._phase_dist(li, pt, x, bp, coefs)
+                return (x, _mul33(tab["S_t"], z)) if want_z else x
+            x = _sweep(tab, meta, x, bp, coefs, W, D)
+            if want_z:
+                return x, b_t - _apply(tab, meta, x, with_bc, W, D)
+            return x
+
+        coefs = self._coefs[li]
+        if agg_here:
+            # algebraic correction (fine level in amg mode, else the
+            # geometric coarsest): smooth - SA-correct - smooth
+            x_t, r_t = smooth(x_t, coefs, want_z=True)
+            x_t = self._agg_correct(atabs, x_t, r_t)
+            return smooth(x_t, coefs)
         if li == nl - 1:
             if nl > 1 and "coarse_inv" in tab:
                 full = jax.lax.all_gather(b_t, _AXIS)    # (D, 3, C, U_loc)
@@ -279,23 +616,27 @@ class DistributedStencilSolver:
                 return x_full[:, :, jax.lax.axis_index(_AXIS)]
             if cfg.coarse_krylov and nl > 1:
                 return self._coarse_cg(tab, meta, x_t, b_t)
-            return _sweep(tab, meta, x_t, bp, self._coefs_coarse, W, D)
-        coefs = self._coefs[li]
-        x_t = _sweep(tab, meta, x_t, bp, coefs, W, D)
-        r_t = b_t - _apply(tab, meta, x_t, with_bc, W, D)
+            return smooth(x_t, self._coefs_coarse)
+        x_t, r_t = smooth(x_t, coefs, want_z=True)
         bc_ = semi.restrict_t(r_t, self.p.levels[li + 1]["s"])
-        e_t = self._vcycle(tabs, li + 1, jnp.zeros_like(bc_), bc_, hom)
+        e_t = self._vcycle(tabs, ptabs, atabs, li + 1,
+                           jnp.zeros_like(bc_), bc_, hom)
         if cfg.cycle_type == "w" and li < 2:
-            e_t = self._vcycle(tabs, li + 1, e_t, bc_, hom)
+            e_t = self._vcycle(tabs, ptabs, atabs, li + 1, e_t, bc_, hom)
         x_t = x_t + semi.prolong_t(e_t, self.p.levels[li + 1]["s"])
-        return _sweep(tab, meta, x_t, bp, coefs, W, D)
+        return smooth(x_t, coefs)
 
     def _build_step(self):
         cfg = self.cfg
-        in_specs = (P(None, None, _AXIS), tuple(self.specs))
+        in_specs = (P(None, None, _AXIS),
+                    (tuple(self.specs),
+                     tuple(ph["specs"] if ph else None
+                           for ph in (self._phases or [])),
+                     self._aspecs))
         shard_map = jax.shard_map
 
-        def step_local(T_t, tabs):
+        def step_local(T_t, all_tabs):
+            tabs, ptabs, atabs = all_tabs
             tab0, meta0 = tabs[0], self.meta[0]
             b_t = (_mul33(tab0["M_t"], T_t) / cfg.dt
                    + _mul33(tab0["M_t"], tab0["source_t"]))
@@ -314,7 +655,7 @@ class DistributedStencilSolver:
                 c = _apply(tab0, meta0, jnp.zeros_like(b_t), True,
                            self.W, self.D)
                 precond = lambda r: self._vcycle(
-                    tabs, 0, jnp.zeros_like(r), r, hom=True)
+                    tabs, ptabs, atabs, 0, jnp.zeros_like(r), r, hom=True)
                 method = (krylov.pcg if not cfg.physics.advection
                           else krylov.bicgstab)
                 T_new, _, _ = method(A_lin, b_t - c, T_t, precond=precond,
@@ -324,7 +665,7 @@ class DistributedStencilSolver:
                 return T_new
 
             def cycle(x, _):
-                return self._vcycle(tabs, 0, x, b_t), None
+                return self._vcycle(tabs, ptabs, atabs, 0, x, b_t), None
             T_t, _ = jax.lax.scan(cycle, T_t, None, length=cfg.n_multigrid)
             return T_t
 
@@ -341,7 +682,9 @@ class DistributedStencilSolver:
         return jax.device_put(T, sh)
 
     def step(self, T_t):
-        return self._step(T_t, tuple(self.tabs_dev))
+        return self._step(T_t, (tuple(self.tabs_dev),
+                                tuple(self.ptabs_dev),
+                                self.atabs_dev))
 
     def run(self, T_t=None, ntime=None):
         if T_t is None:
