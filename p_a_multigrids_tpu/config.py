@@ -106,6 +106,14 @@ class SemiConfig:
     coarse_agg: bool = True
     agg_sweeps: int = 2            # block-Jacobi sweeps per agg level
     agg_cycles: int = 1            # agg V-cycles per coarse correction
+    # dense-direct cap for the BOTTOM of the aggregation hierarchy
+    # (separate from coarse_direct_max_dof, which also sizes the geometric
+    # coarse inverse).  A larger cap truncates the deep tail of tiny agg
+    # levels into one MXU matmul — but the inverse is embedded in the
+    # compiled graph, and beyond ~4k DOF (a ~100+ MB f32 constant) the
+    # serialized payload exceeds what the remote-TPU compile service
+    # accepts (HTTP 413, measured at 6015 DOF)
+    agg_dense_max_dof: int = 4096
     # strength-of-connection threshold for the aggregation (0 = aggregate
     # on the raw adjacency).  Dropping weak couplings before aggregating
     # semicoarsens along anisotropy — on stretched-element meshes

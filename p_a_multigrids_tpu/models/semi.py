@@ -756,12 +756,20 @@ class SemiSolver:
                                                 Lc["s"])
                 h = _agg.build_hierarchy(
                     self._stencil[li]._data, coords,
-                    max_dense_dof=cfg.coarse_direct_max_dof,
+                    max_dense_dof=cfg.agg_dense_max_dof,
                     omega=cfg.omega, sweeps=cfg.agg_sweeps, dtype=dtype,
                     strength=cfg.agg_strength, always=cfg.amg)
                 if h.levels:
                     self._agg = h
                     self._agg_li = li
+                    if h.fine is not None:
+                        # (3, E) -> (3, C, U) once, OUTSIDE any trace (a
+                        # jnp op during tracing yields a tracer; caching
+                        # that on self leaks it into later traces)
+                        Uc = Lc["M"].shape[0]
+                        Cc = Lc["updown"].shape[0]
+                        self._agg_fine_dinv = jnp.swapaxes(
+                            h.fine["dinv_t"].reshape(3, Uc, Cc), 1, 2)
         self._coarse_inv_t = None
         if self._coarse_inv is not None and self._stencil is not None:
             # permute the dense inverse into transposed-layout flat order
@@ -999,13 +1007,38 @@ class SemiSolver:
     def _agg_correct_t(self, li: int, x_t, r_t):
         """Aggregation coarse-grid correction at the geometric coarsest:
         restrict the residual into the algebraic hierarchy (ops/agg),
-        V-cycle there, prolong the correction back."""
+        V-cycle there, prolong the correction back.  Stays in transposed
+        vectors throughout — the std (E, 3) layout pads 42x on TPU.
+
+        Fast path (round 4): the smoothed transfers factor as
+        P = (I - w D^-1 A) P_tent, so for symmetric operators the wide
+        smoothed-transfer gathers become a member-sum tentative transfer
+        plus one application of the fine STENCIL operator (the level's
+        37 Gnnz/s machinery) on each side — measured ~2x cheaper than the
+        stored deg-12 banded transfer kernels on untitled8192.
+        """
         from ..ops import agg as _agg
+        h = self._agg
+        cfg = self.cfg
         C, U = r_t.shape[1], r_t.shape[2]
-        r_flat = jnp.transpose(r_t, (2, 1, 0)).reshape(U * C, 3)
-        e_flat = _agg.correct(self._agg, r_flat, self.cfg.agg_cycles)
-        e_t = jnp.transpose(e_flat.reshape(U, C, 3), (2, 1, 0))
-        return x_t + e_t
+        to_flat = lambda v: jnp.swapaxes(v, 1, 2).reshape(3, U * C)
+        from_flat = lambda v: jnp.swapaxes(v.reshape(3, U, C), 1, 2)
+        if h.fine is not None and not cfg.physics.advection:
+            op = self._stencil[li]
+            f = h.fine
+            w = jnp.asarray(f["w"], r_t.dtype)
+            dinv = self._agg_fine_dinv
+            # P^T r = P_tent^T (r - w A D^-1 r)   [A, D symmetric]
+            y_t = r_t - w * op.apply(dinv * r_t, False)
+            rc = _agg.tent_restrict(h, to_flat(y_t))
+            e = _agg.vcycle_iter(h, rc, cfg.agg_cycles)
+            ef = from_flat(_agg.tent_prolong(h, e))
+            # P e = (I - w D^-1 A) P_tent e
+            e_t = ef - w * (dinv * op.apply(ef, False))
+            return x_t + e_t
+        r_fine_t = to_flat(r_t)                               # e = u*C+c
+        e_fine_t = _agg.correct_t(h, r_fine_t, cfg.agg_cycles)
+        return x_t + from_flat(e_fine_t)
 
     def _vcycle_t(self, li: int, x_t, b_t, hom: bool = False):
         cfg = self.cfg

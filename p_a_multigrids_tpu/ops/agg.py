@@ -73,6 +73,13 @@ class AggHierarchy:
     coarse_scale: jax.Array | None  # D^-1/2 Jacobi scaling of that inverse
     omega: float
     sweeps: int
+    # factored FINE transfers (round 4): P = (I - w D^-1 A) P_tent, so
+    # P^T r = P_tent^T (r - w A D^-1 r) and P e = (I - w D^-1 A) P_tent e
+    # for symmetric A — the smoothing factor runs through the fine-level
+    # stencil fast path instead of the wide smoothed-transfer gathers.
+    # dict(w, dinv_t (3, E), r_cols/r_vals tentative (na, m) member
+    # tables, p_cols/p_vals (E, 1), rstr/prol rowop callables or None)
+    fine: dict | None = None
 
 
 # -- host-side construction --------------------------------------------------
@@ -295,6 +302,7 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
     B = np.concatenate([np.ones((E, 3, 1)), xy], axis=2)   # (E, 3dof, 3ns)
 
     levels: list[AggLevel] = []
+    fine: dict | None = None
     from scipy import sparse
     for _ in range(max_levels):
         # ``always`` (amg mode) coarsens at least once even when the fine
@@ -314,11 +322,31 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
         cols_p = np.repeat(agg * 3, 9) + np.tile(np.arange(3), 3 * E)
         P = sparse.csr_matrix((Pb.reshape(-1), (rows, cols_p)),
                               shape=(3 * E, 3 * na))
+        w_smooth = 0.0
         if smooth_p:
             dinv_s = 1.0 / np.maximum(np.abs(A.diagonal()), 1e-300)
             DA = sparse.diags(dinv_s) @ A
             lam = _power_lam(DA)
-            P = (P - (4.0 / (3.0 * lam)) * (DA @ P)).tocsr()
+            w_smooth = 4.0 / (3.0 * lam)
+            P = (P - w_smooth * (DA @ P)).tocsr()
+        if not levels and smooth_p:
+            # factored FINE transfers: member-sum tentative tables (pad
+            # slots repeat the first member with zero blocks) + the Jacobi
+            # smoothing weight/diagonal; the fine operator application the
+            # factorization needs lives in the caller's stencil fast path
+            sizes = np.bincount(agg, minlength=na)
+            order = np.argsort(agg, kind="stable")
+            bounds = np.concatenate([[0], np.cumsum(sizes)])
+            a_of = agg[order]
+            pos = np.arange(E) - bounds[a_of]
+            m_max = int(sizes.max())
+            tr_cols = np.zeros((na, m_max), np.int64)
+            tr_vals = np.zeros((na, m_max, 3, 3))
+            tr_cols[a_of, pos] = order
+            tr_vals[a_of, pos] = Pb[order].swapaxes(-1, -2)
+            fine = dict(w=w_smooth, _dinv=dinv_s, _n=na, _E=E,
+                        _r_cols=tr_cols, _r_vals=tr_vals,
+                        _p_cols=agg[:, None].copy(), _p_vals=Pb[:, None])
         Ac = (P.T @ A @ P).tocsr()
         Ac.sum_duplicates()
         cols, vals, diag = _padded_operator(Ac, na)
@@ -359,6 +387,25 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
             prol=_mk(p_cols, p_vals.astype(dtype), E, na)))
         A, E, B = Ac, na, Bc
 
+    if fine is not None and levels:
+        _mk_fine = (lambda *a: None) if jax.default_backend() == "cpu" \
+            else (lambda c, v, no, ns: _mk_rowop(c, v, no, ns, dtype, False)
+                  if no * c.shape[1] >= 100_000 else None)
+        fine = dict(
+            w=fine["w"],
+            dinv_t=jnp.asarray(
+                fine["_dinv"].reshape(fine["_E"], 3).T.astype(dtype)),
+            r_cols=jnp.asarray(fine["_r_cols"].astype(np.int32)),
+            r_vals=jnp.asarray(fine["_r_vals"].astype(dtype)),
+            p_cols=jnp.asarray(fine["_p_cols"].astype(np.int32)),
+            p_vals=jnp.asarray(fine["_p_vals"].astype(dtype)),
+            rstr=_mk_fine(fine["_r_cols"], fine["_r_vals"].astype(dtype),
+                          fine["_n"], fine["_E"]),
+            prol=_mk_fine(fine["_p_cols"], fine["_p_vals"].astype(dtype),
+                          fine["_E"], fine["_n"]))
+    else:
+        fine = None
+
     coarse_inv = None
     coarse_scale = None
     if levels and A.shape[0] <= max_dense_dof:
@@ -373,7 +420,7 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
         coarse_scale = jnp.asarray(s_vec.astype(dtype))
     return AggHierarchy(levels=levels, coarse_inv=coarse_inv,
                         coarse_scale=coarse_scale,
-                        omega=omega, sweeps=sweeps)
+                        omega=omega, sweeps=sweeps, fine=fine)
 
 
 def _power_lam_blocks(cols, vals, dinv, iters: int = 15,
@@ -498,81 +545,122 @@ def _mk_rowop(cols: np.ndarray, vals: np.ndarray, n_out: int, n_src: int,
     if not any_pallas:
         return None          # caller uses the single einsum-gather path
 
-    def op(x):
-        x_pad = jnp.zeros((n_sp, b), x.dtype).at[: x.shape[0]].set(x)
-        y = fns[0](x_pad)
+    def call_t(fn, x_pad_t):
+        if hasattr(fn, "apply_t"):
+            return fn.apply_t(x_pad_t)
+        return fn(x_pad_t.T).T           # XLA-BSR fallback chunk
+
+    def op_t(x_t):
+        """Transposed contract: (b, n_src) -> (b, n_out) — std-layout
+        (N, 3) arrays pad their minor dim 42x on TPU, so the agg cycle
+        keeps everything (3, N) end to end."""
+        x_pad = jnp.zeros((b, n_sp), x_t.dtype).at[:, : x_t.shape[1]].set(
+            x_t)
+        y = call_t(fns[0], x_pad)
         for fn in fns[1:]:
-            y = y + fn(x_pad)
-        return y[:n_out]
-    return op
+            y = y + call_t(fn, x_pad)
+        return y[:, :n_out]
+    return op_t
 
 
-def _apply(lvl: AggLevel, x):
-    """A x for the padded block operator."""
+def _rowop_einsum_t(cols, vals, x_t):
+    """Einsum-gather fallback in the transposed contract (3, S)->(3, N).
+
+    Gathers in std layout internally — only the SMALL levels (below the
+    Pallas threshold) take this path, where the 42x minor-dim padding of
+    a (N, 3) intermediate is a few MB."""
+    xg = x_t.T[cols]                                  # (N, D, 3)
+    return jnp.einsum("ndij,ndj->in", vals, xg)
+
+
+def _apply(lvl: AggLevel, x_t):
+    """A x for the padded block operator — transposed vectors (3, N)."""
     if lvl.op is not None:
-        return lvl.op(x)
-    xg = x[lvl.cols]                                  # (N, D, 3)
-    return jnp.einsum("ndij,ndj->ni", lvl.vals, xg)
+        return lvl.op(x_t)
+    return _rowop_einsum_t(lvl.cols, lvl.vals, x_t)
 
 
-def _restrict(lvl: AggLevel, r_fine):
+def _restrict(lvl: AggLevel, r_fine_t):
     if lvl.rstr is not None:
-        return lvl.rstr(r_fine)
-    rg = r_fine[lvl.r_cols]                           # (N, Dr, 3)
-    return jnp.einsum("ndij,ndj->ni", lvl.r_vals, rg)
+        return lvl.rstr(r_fine_t)
+    return _rowop_einsum_t(lvl.r_cols, lvl.r_vals, r_fine_t)
 
 
-def _prolong(lvl: AggLevel, e_coarse):
+def _prolong(lvl: AggLevel, e_coarse_t):
     if lvl.prol is not None:
-        return lvl.prol(e_coarse)
-    eg = e_coarse[lvl.p_cols]                         # (Ne, Dp, 3)
-    return jnp.einsum("ndij,ndj->ni", lvl.p_vals, eg)
+        return lvl.prol(e_coarse_t)
+    return _rowop_einsum_t(lvl.p_cols, lvl.p_vals, e_coarse_t)
 
 
-def _smooth(lvl: AggLevel, x, b, omega, sweeps):
+def _smooth(lvl: AggLevel, x_t, b_t, omega, sweeps):
     # the level's spectral weight, never above the configured omega
     w = min(lvl.omega, omega)
     for _ in range(sweeps):
-        r = b - _apply(lvl, x)
-        x = x + w * jnp.einsum("nij,nj->ni", lvl.dinv, r)
-    return x
+        r_t = b_t - _apply(lvl, x_t)
+        x_t = x_t + w * jnp.einsum("nij,jn->in", lvl.dinv, r_t)
+    return x_t
 
 
-def vcycle(h: AggHierarchy, k: int, b):
+def vcycle(h: AggHierarchy, k: int, b_t):
     """Homogeneous-start V-cycle over the aggregation levels.
 
-    ``b`` is the fine residual restricted into level k's DOF layout
-    (N_k, 3); returns the correction in the same layout.
+    ``b_t`` is the fine residual restricted into level k's DOF layout,
+    TRANSPOSED (3, N_k); returns the correction in the same layout.
     """
     lvl = h.levels[k]
-    x = jnp.zeros_like(b)
-    x = _smooth(lvl, x, b, h.omega, h.sweeps)
-    r = b - _apply(lvl, x)
+    x_t = jnp.zeros_like(b_t)
+    x_t = _smooth(lvl, x_t, b_t, h.omega, h.sweeps)
+    r_t = b_t - _apply(lvl, x_t)
     if k + 1 < len(h.levels):
         nxt = h.levels[k + 1]
-        ec = vcycle(h, k + 1, _restrict(nxt, r))
-        x = x + _prolong(nxt, ec)
+        ec = vcycle(h, k + 1, _restrict(nxt, r_t))
+        x_t = x_t + _prolong(nxt, ec)
     elif h.coarse_inv is not None:
-        rs = h.coarse_scale * r.reshape(-1)
+        rs = h.coarse_scale * r_t.T.reshape(-1)
         ec = h.coarse_scale * (h.coarse_inv @ rs)
-        x = x + ec.reshape(r.shape)
-    x = _smooth(lvl, x, b, h.omega, h.sweeps)
-    return x
+        x_t = x_t + ec.reshape(r_t.shape[1], 3).T
+    x_t = _smooth(lvl, x_t, b_t, h.omega, h.sweeps)
+    return x_t
+
+
+def vcycle_iter(h: AggHierarchy, rc, ncycles: int = 1):
+    """ncycles V-cycles on the level-0 aggregation system (transposed)."""
+    e = vcycle(h, 0, rc)
+    for _ in range(ncycles - 1):
+        e = e + vcycle(h, 0, rc - _apply(h.levels[0], e))
+    return e
+
+
+def tent_restrict(h: AggHierarchy, y_fine_t):
+    """Tentative (member-sum) restriction P_tent^T y: (3, E) -> (3, na)."""
+    f = h.fine
+    if f["rstr"] is not None:
+        return f["rstr"](y_fine_t)
+    return _rowop_einsum_t(f["r_cols"], f["r_vals"], y_fine_t)
+
+
+def tent_prolong(h: AggHierarchy, e_t):
+    """Tentative prolongation P_tent e: (3, na) -> (3, E)."""
+    f = h.fine
+    if f["prol"] is not None:
+        return f["prol"](e_t)
+    return _rowop_einsum_t(f["p_cols"], f["p_vals"], e_t)
+
+
+def correct_t(h: AggHierarchy, r_fine_t, ncycles: int = 1):
+    """Correction for the GEOMETRIC coarsest level from its residual.
+
+    r_fine_t (3, E) -> correction (3, E): restrict into the first
+    aggregation level, run ``ncycles`` V-cycles there, prolong back.  A
+    fixed linear operator (no inner Krylov), so the enclosing V-cycle
+    stays a valid preconditioner.
+    """
+    lvl0 = h.levels[0]
+    rc = _restrict(lvl0, r_fine_t)
+    e = vcycle_iter(h, rc, ncycles)
+    return _prolong(lvl0, e)
 
 
 def correct(h: AggHierarchy, r_fine, ncycles: int = 1):
-    """Correction for the GEOMETRIC coarsest level from its residual.
-
-    r_fine (E, 3) -> correction (E, 3): restrict into the first aggregation
-    level, run ``ncycles`` V-cycles there, prolong back.  A fixed linear
-    operator (no inner Krylov), so the enclosing V-cycle stays a valid
-    preconditioner.
-    """
-    lvl0 = h.levels[0]
-    rc = _restrict(lvl0, r_fine)
-    e = vcycle(h, 0, rc)
-    for _ in range(ncycles - 1):
-        # additional cycles iterate on the level-0 aggregation system
-        r = rc - _apply(lvl0, e)
-        e = e + vcycle(h, 0, r)
-    return _prolong(lvl0, e)
+    """Std-layout compatibility wrapper: (E, 3) -> (E, 3)."""
+    return correct_t(h, r_fine.T, ncycles).T

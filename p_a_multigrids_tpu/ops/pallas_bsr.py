@@ -217,17 +217,25 @@ class PallasSpMV:
     def __call__(self, x: jax.Array) -> jax.Array:
         """y = A @ x with x (S, b) -> (E, b) (same contract as BSR.spmv;
         rectangular when src_rows was given)."""
+        return self.apply_t(x.T).T
+
+    def apply_t(self, x_t: jax.Array) -> jax.Array:
+        """Transposed entry: x_t (b, S) -> y_t (b, E).
+
+        The (N, b) std layout pads its 3-wide minor dimension to a full
+        128 lane tile (a 42x physical blow-up for b=3); pipelines that
+        keep vectors transposed end to end (ops/agg round 4) call this
+        directly and never materialize a std-layout array.
+        """
         E, b, G, S = self.E, self.b, self.G, self.S
-        x_t = x.T                                          # (b, S)
         # grouped layout (b*G, S/G): sublane (i, c), lane = group index
         xg = x_t.reshape(b, S // G, G).transpose(0, 2, 1).reshape(
             b * G, S // G)
         # the row-tile input only feeds the self-block shortcut (square
         # operators); rectangular ones get a folded zero placeholder
         x_row = x_t if self.self0 else jnp.zeros((b, E), x_t.dtype)
-        y_t = self._call()(self.offs, x_row, xg, self.rel_t, self.mem_t,
-                           self.vals_t)
-        return y_t.T
+        return self._call()(self.offs, x_row, xg, self.rel_t, self.mem_t,
+                            self.vals_t)
 
 
 def spmv_fast(A: BSR, interpret: bool = False, group: int = 1):

@@ -509,13 +509,18 @@ class PhaseOperatorResident(PhaseOperator):
         return dict(self._host, offs=self.offs)
 
     def _pick_tu_res(self, U: int) -> int:
+        # LARGEST feasible tile first: every round/tile pays dynamic lane
+        # slices into the resident coefficient arrays, and a single whole-
+        # axis tile (T=1) takes the static slice(None) path instead —
+        # measured the difference between losing and beating the streaming
+        # kernel at C=16
         cands = [tu for tu in (128, 256, 384, 512) if U % tu == 0]
         cands += [U] if U not in cands else []
-        cands.sort(key=lambda tu: (tu != 128, tu))
+        cands.sort(reverse=True)
         for tu in cands:
             if self._vmem_resident(tu) <= int(0.85 * self.VMEM_LIMIT):
                 return tu
-        return cands[0]           # final check in __init__ raises
+        return cands[-1]          # final check in __init__ raises
 
     def _vmem_resident(self, tu: int) -> int:
         """Whole-kernel VMEM footprint: resident blocks + scratch + tiles."""

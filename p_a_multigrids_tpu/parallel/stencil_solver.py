@@ -564,6 +564,10 @@ class DistributedStencilSolver:
 
     def _agg_correct(self, at, x_t, r_t):
         """SA correction of this level's local residual (3, C, U_loc)."""
+        if self.D == 1:
+            # single-chip: the shard IS the mesh — run the serial fast
+            # path (factored transfers + banded Pallas rowops) verbatim
+            return self.serial._agg_correct_t(self._agg_li, x_t, r_t)
         C = r_t.shape[1]
         U_loc = r_t.shape[2]
         r_loc = jnp.transpose(r_t, (2, 1, 0)).reshape(U_loc * C, 3)

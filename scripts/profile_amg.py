@@ -92,11 +92,12 @@ def main():
         return best / n
 
     U, C = op.U, op.C
-    r_flat = jnp.transpose(r_t, (2, 1, 0)).reshape(U * C, 3)
+    r_flat_t = jnp.swapaxes(r_t, 1, 2).reshape(3, U * C)
     lvl0 = h.levels[0]
     print(f"  restrict fine->agg0: "
-          f"{timed_op(lambda v: _agg._restrict(lvl0, v), r_flat)*1e3:.3f} ms")
-    rc = _agg._restrict(lvl0, r_flat)
+          f"{timed_op(lambda v: _agg._restrict(lvl0, v), r_flat_t)*1e3:.3f}"
+          f" ms")
+    rc = _agg._restrict(lvl0, r_flat_t)
     print(f"  agg vcycle: "
           f"{timed_op(lambda v: _agg.vcycle(h, 0, v), rc)*1e3:.3f} ms")
     ec = _agg.vcycle(h, 0, rc)
@@ -104,8 +105,6 @@ def main():
           f"{timed_op(lambda v: _agg._prolong(lvl0, v), ec)*1e3:.3f} ms")
     print(f"  agg0 operator apply: "
           f"{timed_op(lambda v: _agg._apply(lvl0, v), rc)*1e3:.3f} ms")
-    print(f"  layout roundtrip (3,C,U)->(UC,3)->(3,C,U): "
-          f"{timed_op(lambda v: jnp.transpose(jnp.transpose(v, (2, 1, 0)).reshape(U * C, 3).reshape(U, C, 3), (2, 1, 0)), r_t)*1e3:.3f} ms")
     lvl1 = h.levels[1]
     print(f"  level1 restrict(from agg0): "
           f"{timed_op(lambda v: _agg._restrict(lvl1, v), rc)*1e3:.3f} ms")
@@ -114,31 +113,6 @@ def main():
           f"{timed_op(lambda v: _agg._apply(lvl1, v), rc1)*1e3:.3f} ms")
     print(f"  level1 prolong: "
           f"{timed_op(lambda v: _agg._prolong(lvl1, v), rc1)*1e3:.3f} ms")
-
-    # why did any rowop chunks fall back?
-    from p_a_multigrids_tpu.ops.bsr import BSR
-    from p_a_multigrids_tpu.ops.pallas_bsr import PallasSpMV
-    for name, cols, vals, n_out, n_src in [
-            ("r0", lvl0.r_cols, lvl0.r_vals, lvl0.n, U * C),
-            ("op1", h.levels[1].cols, h.levels[1].vals,
-             h.levels[1].n, h.levels[1].n)]:
-        cols = np.asarray(cols)
-        vals = np.asarray(vals)
-        n_op = 1024 * -(-max(n_out, 1024) // 1024)
-        n_sp = 1024 * -(-max(n_src, 1024) // 1024)
-        for k0 in range(0, cols.shape[1], 8):
-            kc = min(8, cols.shape[1] - k0)
-            cols_p = np.broadcast_to(cols[-1:, k0:k0 + kc],
-                                     (n_op, kc)).copy()
-            vals_p = np.zeros((n_op, kc, 3, 3), np.float32)
-            cols_p[:n_out] = cols[:, k0:k0 + kc]
-            vals_p[:n_out] = vals[:, k0:k0 + kc]
-            try:
-                PallasSpMV(BSR(cols=cols_p.astype(np.int32), vals=vals_p),
-                           group=8, src_rows=n_sp)
-                print(f"  {name} chunk {k0}: OK")
-            except ValueError as e:
-                print(f"  {name} chunk {k0}: FAIL {e}")
 
 
 if __name__ == "__main__":

@@ -33,7 +33,9 @@ def test_rowop_kernel_matches_einsum(shape):
                         interpret=True)
     x = jnp.asarray(np.random.default_rng(1).normal(size=(n_src, 3)))
     want = np.einsum("ndij,ndj->ni", vals, np.asarray(x)[cols])
-    np.testing.assert_allclose(np.asarray(op(x)), want, rtol=1e-12,
+    # transposed contract (3, S) -> (3, N): the agg cycle keeps vectors
+    # transposed end to end (std (N, 3) pads its minor dim 42x on TPU)
+    np.testing.assert_allclose(np.asarray(op(x.T)).T, want, rtol=1e-12,
                                atol=1e-12)
 
 
@@ -85,3 +87,29 @@ def test_scaled_bottom_inverse_accurate():
     r = rng.normal(size=n)
     e = s_vec * (inv @ (s_vec * r))
     assert np.linalg.norm(A_np @ e - r) < 1e-8 * np.linalg.norm(r)
+
+
+def test_factored_fine_transfers_match_stored():
+    """The factored transfer path (P_tent + one stencil apply per side,
+    models/semi._agg_correct_t) == the stored smoothed-transfer tables:
+    P = (I - w D^-1 A) P_tent exactly, so both must agree to roundoff."""
+    import jax.numpy as jnp
+    mesh = topology.rcm_reorder(structured.tri_mesh(8, 8, 0.125, 0.125))
+    cfg = SemiConfig(n_split=2, multi_levels=1, dt=1e8, dtype="float64",
+                     amg=True, agg_strength=0.4, pallas_phase=False)
+    s = msemi.SemiSolver(msemi.build_problem(mesh, cfg))
+    h = s._agg
+    assert h is not None and h.fine is not None
+    U, C = mesh.num_elements, 16
+    rng = np.random.default_rng(7)
+    r_t = jnp.asarray(rng.normal(size=(3, C, U)))
+    x0 = jnp.zeros_like(r_t)
+    # factored path (the default for symmetric physics)
+    e_fact = np.asarray(s._agg_correct_t(0, x0, r_t))
+    # stored path: force it by hiding the factored tables
+    fine, h.fine = h.fine, None
+    try:
+        e_stored = np.asarray(s._agg_correct_t(0, x0, r_t))
+    finally:
+        h.fine = fine
+    np.testing.assert_allclose(e_fact, e_stored, rtol=1e-9, atol=1e-10)
