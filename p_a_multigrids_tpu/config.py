@@ -114,6 +114,12 @@ class SemiConfig:
     # serialized payload exceeds what the remote-TPU compile service
     # accepts (HTTP 413, measured at 6015 DOF)
     agg_dense_max_dof: int = 4096
+    # SA filtering of the Galerkin level operators: blocks below
+    # drop_tol * sqrt(|diag_i||diag_j|) are dropped (ops/agg
+    # _padded_operator).  The levels are approximate coarse solvers, so
+    # moderate filtering (up to ~0.02) trades a few points of rho for a
+    # substantially narrower (faster) device operator.
+    agg_drop_tol: float = 1e-4
     # strength-of-connection threshold for the aggregation (0 = aggregate
     # on the raw adjacency).  Dropping weak couplings before aggregating
     # semicoarsens along anisotropy — on stretched-element meshes

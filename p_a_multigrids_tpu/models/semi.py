@@ -758,7 +758,8 @@ class SemiSolver:
                     self._stencil[li]._data, coords,
                     max_dense_dof=cfg.agg_dense_max_dof,
                     omega=cfg.omega, sweeps=cfg.agg_sweeps, dtype=dtype,
-                    strength=cfg.agg_strength, always=cfg.amg)
+                    strength=cfg.agg_strength, always=cfg.amg,
+                    drop_tol=cfg.agg_drop_tol)
                 if h.levels:
                     self._agg = h
                     self._agg_li = li

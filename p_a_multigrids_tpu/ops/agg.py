@@ -277,7 +277,8 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
                     max_levels: int = 12,
                     smooth_p: bool = True,
                     strength: float = 0.0,
-                    always: bool = False) -> AggHierarchy:
+                    always: bool = False,
+                    drop_tol: float = 1e-4) -> AggHierarchy:
     """Aggregation hierarchy under one stencil level.
 
     Args:
@@ -329,6 +330,24 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
             lam = _power_lam(DA)
             w_smooth = 4.0 / (3.0 * lam)
             P = (P - w_smooth * (DA @ P)).tocsr()
+        Ac = (P.T @ A @ P).tocsr()
+        Ac.sum_duplicates()
+        # RCM-relabel the aggregates on the COARSE block graph: BFS seed
+        # order leaves the ids only mildly banded, and every banded Pallas
+        # rowop's one-hot window W (the dominant cost of the device cycle)
+        # scales with the band — RCM tightens it at every level
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        coo = Ac.tocoo()
+        bg = sparse.csr_matrix(
+            (np.ones(len(coo.row)), (coo.row // 3, coo.col // 3)),
+            shape=(na, na))
+        perm = np.asarray(reverse_cuthill_mckee(bg, symmetric_mode=True))
+        inv_p = np.argsort(perm)
+        perm3 = (3 * perm[:, None] + np.arange(3)).ravel()
+        Ac = Ac[perm3][:, perm3].tocsr()
+        P = P[:, perm3].tocsr()
+        Bc = Bc[perm]
+        agg = inv_p[agg]
         if not levels and smooth_p:
             # factored FINE transfers: member-sum tentative tables (pad
             # slots repeat the first member with zero blocks) + the Jacobi
@@ -347,9 +366,7 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
             fine = dict(w=w_smooth, _dinv=dinv_s, _n=na, _E=E,
                         _r_cols=tr_cols, _r_vals=tr_vals,
                         _p_cols=agg[:, None].copy(), _p_vals=Pb[:, None])
-        Ac = (P.T @ A @ P).tocsr()
-        Ac.sum_duplicates()
-        cols, vals, diag = _padded_operator(Ac, na)
+        cols, vals, diag = _padded_operator(Ac, na, drop_tol=drop_tol)
         p_cols, p_vals = _padded_transfer(P, E, na)
         r_cols, r_vals = _padded_transfer(P.T.tocsr(), na, E)
         # spectrally-safe smoothing weight for THIS level's operator,

@@ -56,10 +56,16 @@ def _exact_dot(a, b):
 class PhaseOperator:
     """Fused relaxation-phase kernels for one level's stencil operator."""
 
-    # band alignment for the in-kernel dynamic slice (lane-dim offsets)
-    ALIGN = 256
+    # band alignment for the in-kernel dynamic slice (lane-dim offsets);
+    # 128 (the lane tile) keeps the strip band W one alignment step
+    # tighter than 256 — measured ~12% whole-phase gain (docs/PROFILE_r4)
+    ALIGN = 128
 
     VMEM_BUDGET = 48 * 1024 * 1024
+
+    # subclass switch: True keeps the premultiplied coefficient arrays
+    # VMEM-resident (constant index maps) instead of streaming tiles
+    COEF_RESIDENT = False
 
     @classmethod
     def _vmem(cls, C: int, U: int, tu: int, itemsize: int) -> int:
@@ -72,12 +78,12 @@ class PhaseOperator:
         """Macro-axis (lane) tile width.  Mosaic requires lane-dim blocks
         to be multiples of 128 or the whole axis, so candidates are 128,
         its multiples dividing U, and U itself (tiny meshes run as a
-        single tile); among those, the first whose coefficient tiles fit
-        the VMEM budget — large C (deep n_split) shrinks the tile because
-        the (81+9)*C*TU coefficient planes dominate."""
+        single tile).  256 measured best at the production shapes (fewer
+        grid steps than 128; beyond 256 the banded strip gather's W grows
+        faster than the step count shrinks — docs/PROFILE_r4.md)."""
         cands = [tu for tu in (128, 256, 384, 512) if U % tu == 0]
         cands += [U] if U not in cands else []
-        cands.sort(key=lambda tu: (tu != 128, tu))
+        cands.sort(key=lambda tu: (tu != 256, tu != 128, tu))
         for tu in cands:
             if cls._vmem(C, U, tu, itemsize) <= cls.VMEM_BUDGET:
                 return tu
@@ -180,7 +186,10 @@ class PhaseOperator:
             xv = xab[pread, :, :, pl.ds(ts, TU)]             # (3, C, TU)
             band = xab[pread, :, :, pl.ds(off_t, W)]         # (3, C, W)
             ioh = ioh_ref[:]
-            Fp = Fp_ref[:]
+            # COEF_RESIDENT: the whole (3,3,3,C,U) block lives in VMEM
+            # (fetched once per phase); slice this tile's lanes
+            Fp = (Fp_ref[:, :, :, :, pl.ds(ts, TU)]
+                  if self.COEF_RESIDENT else Fp_ref[:])
 
             # intra-macro neighbor planes: exact one-hot matmuls
             xg = [[_exact_dot(ioh[f], xv[j]) for j in range(3)]
@@ -219,7 +228,8 @@ class PhaseOperator:
                         term = Fp[f, i, j] * xg[f][j]
                         acc = term if acc is None else acc + term
                 if nb:
-                    Xp = Xp_ref[:]
+                    Xp = (Xp_ref[:, :, :, pl.ds(ts, TU)]
+                          if self.COEF_RESIDENT else Xp_ref[:])
                     coh = coh_ref[:]
                     cs = Xp[i, 0] * sv[0]
                     for j in range(1, 3):
@@ -250,6 +260,18 @@ class PhaseOperator:
         def im_t(*lead):
             return lambda r, t, offs, coefs: lead + (t,)
 
+        if self.COEF_RESIDENT:
+            # constant index maps: the coefficient blocks are fetched into
+            # VMEM once and reused by every (round, tile) step
+            fp_spec = pl.BlockSpec((3, 3, 3, C, U), im(0, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            xp_spec = pl.BlockSpec((3, 3, max(nb, 1), U), im(0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+        else:
+            fp_spec = pl.BlockSpec((3, 3, 3, C, TU), im_t(0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            xp_spec = pl.BlockSpec((3, 3, max(nb, 1), TU), im_t(0, 0, 0),
+                                   memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_rounds, T),
@@ -258,10 +280,8 @@ class PhaseOperator:
                              memory_space=pltpu.VMEM),        # x0
                 pl.BlockSpec((3, C, TU), im_t(0, 0),
                              memory_space=pltpu.VMEM),        # bp
-                pl.BlockSpec((3, 3, 3, C, TU), im_t(0, 0, 0, 0),
-                             memory_space=pltpu.VMEM),        # Fp
-                pl.BlockSpec((3, 3, max(nb, 1), TU), im_t(0, 0, 0),
-                             memory_space=pltpu.VMEM),        # Xp
+                fp_spec,                                      # Fp
+                xp_spec,                                      # Xp
                 pl.BlockSpec((3, TU), im_t(0,),
                              memory_space=pltpu.VMEM),        # src_rel
                 pl.BlockSpec((3, max(m, 1), TU), im_t(0, 0),
@@ -282,12 +302,17 @@ class PhaseOperator:
                 pltpu.VMEM((3, C, U), dt),
             ],
         )
+        kwargs = {}
+        if self.COEF_RESIDENT:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=self.VMEM_LIMIT)
         call = pl.pallas_call(
             self._kernel,
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((3, C, U), dt),
                        jax.ShapeDtypeStruct((3, C, U), dt)],
             interpret=self.interpret,
+            **kwargs,
         )
         self._calls[n_rounds] = call
         return call
@@ -328,6 +353,32 @@ class PhaseOperator:
         return jnp.stack([
             S[i, 0] * z_t[0] + S[i, 1] * z_t[1] + S[i, 2] * z_t[2]
             for i in range(3)])
+
+
+class PhaseOperatorCoefResident(PhaseOperator):
+    """Streaming-kernel structure with VMEM-RESIDENT coefficients.
+
+    The best of both earlier kernels at SMALL child counts: the compact
+    (unpadded) child axis and one-hot intra gathers of the streaming V1
+    kernel — whose arithmetic is half the padded lattice's — but the
+    premultiplied coefficient blocks are constant-index-map inputs fetched
+    into VMEM once per phase instead of re-streamed every round (the
+    dominant HBM traffic of the whole V-cycle at C <= 16: 81 coefficient
+    planes x rounds).  Feasible while ~90*C*U floats fit VMEM, i.e.
+    C <= 16 at production U; larger C falls back to streaming or the
+    padded lattice kernel (make_phase).
+    """
+
+    COEF_RESIDENT = True
+    VMEM_LIMIT = 110 * 1024 * 1024
+    VMEM_BUDGET = int(0.85 * VMEM_LIMIT)
+
+    @classmethod
+    def _vmem(cls, C: int, U: int, tu: int, itemsize: int) -> int:
+        resident = (81 + 9) * C * U           # Fp + Xp upper bound
+        scratch = 9 * C * U                   # state ping-pong + bp
+        tiles = 4 * 3 * C * tu * 2
+        return (resident + scratch + tiles) * itemsize
 
 
 def _lattice_layout(s: int):
@@ -509,14 +560,15 @@ class PhaseOperatorResident(PhaseOperator):
         return dict(self._host, offs=self.offs)
 
     def _pick_tu_res(self, U: int) -> int:
-        # LARGEST feasible tile first: every round/tile pays dynamic lane
-        # slices into the resident coefficient arrays, and a single whole-
-        # axis tile (T=1) takes the static slice(None) path instead —
-        # measured the difference between losing and beating the streaming
-        # kernel at C=16
-        cands = [tu for tu in (128, 256, 384, 512) if U % tu == 0]
+        # larger tiles amortize the per-(round, tile) dynamic lane slices
+        # into the resident coefficient arrays — but a whole-axis tile at
+        # production U (T=1, TU~8k) sends the Mosaic compile into the
+        # 10+ minute range, so the preference is bounded at 512
+        cands = [tu for tu in (512, 384, 256, 128) if U % tu == 0]
         cands += [U] if U not in cands else []
-        cands.sort(reverse=True)
+        if U > 1024 and U in cands:
+            cands.remove(U)
+            cands.append(U)       # big whole-axis tiles only as last resort
         for tu in cands:
             if self._vmem_resident(tu) <= int(0.85 * self.VMEM_LIMIT):
                 return tu
@@ -742,14 +794,19 @@ def make_phase(op: StencilOperator, interpret: bool = False,
         return PhaseOperatorResident(op, interpret=interpret, wmin=wmin)
     if impl == "stream":
         return PhaseOperator(op, interpret=interpret, wmin=wmin)
+    if impl == "coef_resident":
+        return PhaseOperatorCoefResident(op, interpret=interpret,
+                                         wmin=wmin)
     if impl != "auto":
         raise ValueError(f"unknown phase_impl {impl!r}")
-    # streaming preferred only where it is both the faster kernel (small
-    # C) and on safe shapes: its single-tile configurations at
-    # U % 128 != 0 have crashed the TPU AOT compiler (the resident
-    # kernel handles those shapes fine)
+    # small C on safe shapes: resident-coefficient kernel first (fastest:
+    # compact child axis AND zero per-round coefficient traffic), then
+    # streaming; the padded-lattice kernel handles deep C and the shapes
+    # that crash the streaming kernel's AOT compile (C >= 256 or
+    # U % 128 != 0, scripts/repro_stream_aot.py)
     stream_ok = op.C <= 64 and op.U % 128 == 0
-    order = ([PhaseOperator, PhaseOperatorResident] if stream_ok
+    order = ([PhaseOperatorCoefResident, PhaseOperator,
+              PhaseOperatorResident] if stream_ok
              else [PhaseOperatorResident, PhaseOperator])
     for cls in order:
         try:

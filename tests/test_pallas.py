@@ -63,7 +63,7 @@ def test_vcycle_pallas_matches_xla(phys_name):
     np.testing.assert_allclose(a, b, rtol=1e-11, atol=1e-12)
 
 
-@pytest.mark.parametrize("impl", ["resident", "stream"])
+@pytest.mark.parametrize("impl", ["resident", "stream", "coef_resident"])
 @pytest.mark.parametrize("n_split", [2, 3])
 def test_phase_impls_match_stencil(impl, n_split):
     """Both kernel implementations == the XLA stencil smoother, including
@@ -101,7 +101,7 @@ def test_auto_selection():
     cfg = SemiConfig(n_split=2, multi_levels=1, dt=0.05,
                      dtype="float64", pallas_phase=True)
     s2 = msemi.SemiSolver(msemi.build_problem(mesh, cfg))
-    assert type(s2._phase[0]).__name__ == "PhaseOperator"
+    assert type(s2._phase[0]).__name__ == "PhaseOperatorCoefResident"
     # deep split (C > 64) -> resident even on tileable U
     cfg3 = SemiConfig(n_split=4, multi_levels=1, dt=0.05,
                       dtype="float64", pallas_phase=True)
