@@ -120,6 +120,10 @@ class SemiConfig:
     # moderate filtering (up to ~0.02) trades a few points of rho for a
     # substantially narrower (faster) device operator.
     agg_drop_tol: float = 1e-4
+    # elements per aggregate (BFS target).  4 is classical SA; 8 halves
+    # every level's row count (the device cycle cost) at some rho cost —
+    # worthwhile when the correction is the cycle's dominant term.
+    agg_target: int = 4
     # strength-of-connection threshold for the aggregation (0 = aggregate
     # on the raw adjacency).  Dropping weak couplings before aggregating
     # semicoarsens along anisotropy — on stretched-element meshes

@@ -759,7 +759,7 @@ class SemiSolver:
                     max_dense_dof=cfg.agg_dense_max_dof,
                     omega=cfg.omega, sweeps=cfg.agg_sweeps, dtype=dtype,
                     strength=cfg.agg_strength, always=cfg.amg,
-                    drop_tol=cfg.agg_drop_tol)
+                    drop_tol=cfg.agg_drop_tol, target=cfg.agg_target)
                 if h.levels:
                     self._agg = h
                     self._agg_li = li

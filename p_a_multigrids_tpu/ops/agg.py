@@ -278,7 +278,8 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
                     smooth_p: bool = True,
                     strength: float = 0.0,
                     always: bool = False,
-                    drop_tol: float = 1e-4) -> AggHierarchy:
+                    drop_tol: float = 1e-4,
+                    target: int = 4) -> AggHierarchy:
     """Aggregation hierarchy under one stencil level.
 
     Args:
@@ -312,7 +313,7 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
         if A.shape[0] <= max_dense_dof and (levels or not always):
             break
         adj = _element_graph(A, E, strength=strength)
-        agg = _aggregate(adj, E)
+        agg = _aggregate(adj, E, target=target)
         na = int(agg.max()) + 1
         if na >= E:              # no coarsening possible
             break
@@ -332,16 +333,15 @@ def build_hierarchy(data: StencilData, dof_coords: np.ndarray,
             P = (P - w_smooth * (DA @ P)).tocsr()
         Ac = (P.T @ A @ P).tocsr()
         Ac.sum_duplicates()
-        # RCM-relabel the aggregates on the COARSE block graph: BFS seed
-        # order leaves the ids only mildly banded, and every banded Pallas
-        # rowop's one-hot window W (the dominant cost of the device cycle)
-        # scales with the band — RCM tightens it at every level
-        from scipy.sparse.csgraph import reverse_cuthill_mckee
-        coo = Ac.tocoo()
-        bg = sparse.csr_matrix(
-            (np.ones(len(coo.row)), (coo.row // 3, coo.col // 3)),
-            shape=(na, na))
-        perm = np.asarray(reverse_cuthill_mckee(bg, symmetric_mode=True))
+        # relabel aggregates by MINIMUM member id: keeps the coarse order
+        # ALIGNED with the fine (RCM) order, so the banded rowop windows
+        # stay tight simultaneously for the level operator AND both
+        # transfers.  (A coarse-graph RCM tightens the operator band but
+        # decorrelates coarse-vs-fine ids — the level-0 transfer windows
+        # then blow past the kernel's VMEM check; measured.)
+        first = np.full(na, E, np.int64)
+        np.minimum.at(first, agg, np.arange(E))
+        perm = np.argsort(first, kind="stable")          # new k = old perm[k]
         inv_p = np.argsort(perm)
         perm3 = (3 * perm[:, None] + np.arange(3)).ravel()
         Ac = Ac[perm3][:, perm3].tocsr()

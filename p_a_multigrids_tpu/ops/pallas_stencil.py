@@ -62,6 +62,12 @@ class PhaseOperator:
     ALIGN = 128
 
     VMEM_BUDGET = 48 * 1024 * 1024
+    # Mosaic scoped-VMEM limit passed to every call.  The round-3 "AOT
+    # compiler crash" at C >= 256 was in fact a kernel-STACK scoped-vmem
+    # OOM against the 16 MB default (the in-kernel one-hot temporaries at
+    # large C need ~21 MB; scripts/repro_stream_aot.py captures the exact
+    # PJRT error) — raising the limit fixes it.
+    VMEM_LIMIT = 110 * 1024 * 1024
 
     # subclass switch: True keeps the premultiplied coefficient arrays
     # VMEM-resident (constant index maps) instead of streaming tiles
@@ -302,17 +308,14 @@ class PhaseOperator:
                 pltpu.VMEM((3, C, U), dt),
             ],
         )
-        kwargs = {}
-        if self.COEF_RESIDENT:
-            kwargs["compiler_params"] = pltpu.CompilerParams(
-                vmem_limit_bytes=self.VMEM_LIMIT)
         call = pl.pallas_call(
             self._kernel,
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((3, C, U), dt),
                        jax.ShapeDtypeStruct((3, C, U), dt)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=self.VMEM_LIMIT),
             interpret=self.interpret,
-            **kwargs,
         )
         self._calls[n_rounds] = call
         return call

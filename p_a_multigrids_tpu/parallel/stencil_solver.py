@@ -33,6 +33,19 @@ Round 4 makes the PRODUCTION configuration multi-chip (VERDICT r3 #1):
 Everything else is macro-local: multigrid transfers never communicate, and
 the coarsest solve either runs replicated (dense inverse after one
 all_gather) or smooths shard-locally.
+
+Multi-host plan (the DCN axis, SURVEY §2/§5): the RCM band is 1-D, so the
+natural pod-scale mesh is ("dp_outer", "dp") with the SAME ring layout —
+contiguous RCM blocks per host, per-chip blocks within a host.  Every
+exchange here is a nearest-neighbor ppermute of packed strips, so on a
+2-D mesh only the two block-boundary chips per host pair talk across DCN
+(one strip message per round), everything else rides ICI; the psum/
+all_gather collectives of the SA correction are hierarchical by XLA
+default.  Nothing in the table layout changes — the device axis is
+flattened Mesh(devices.reshape(-1)) today, and a (hosts, chips) reshape
+of the same ordering is the DCN deployment; this environment has one
+real chip, so that reshape is exercised only as the virtual-device
+dryrun.
 """
 
 from __future__ import annotations

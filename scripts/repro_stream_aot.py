@@ -1,19 +1,31 @@
-"""Minimal repro: the STREAMING phase kernel crashes the TPU AOT compiler.
+"""Repro + resolution of the round-3 streaming-kernel "AOT crashes".
 
 Round-3 observations (commit e611632/6e219fa, VERDICT r3 weak #4): the
 V1 streaming kernel (ops/pallas_stencil.PhaseOperator) deterministically
-kills the remote AOT compile at
+killed the remote AOT compile at
   (a) C >= 256 (deep n_split), and
   (b) single-tile configurations with U % 128 != 0.
-make_phase's auto rule avoids those shapes (resident kernel instead); this
-script reproduces each case in isolation so the upstream failure can be
-reported/bisected.  Run on the real TPU:
+
+ROOT CAUSE (found round 4 by running this script): case (a) is a kernel-
+stack scoped-VMEM OOM against Mosaic's 16 MB default — the exact PJRT
+error surfaced as:
+
+    Ran out of memory in memory space vmem while allocating on stack ...
+    Scoped allocation with size 21.35M and limit 16.00M exceeded scoped
+    vmem limit by 5.35M.
+
+(the in-kernel (C, C)/(W, TU) one-hot temporaries at C=256).  The remote
+compile helper's HTTP 500 had been masking this structured error.  FIX:
+PhaseOperator now passes CompilerParams(vmem_limit_bytes=VMEM_LIMIT) on
+every call; case_a prints OK (verified on v5e, round 4).
+
+Case (b) — a single whole-axis tile narrower than the 128 lane tile
+(U=12) — still dies INSIDE the tpu_compile_helper subprocess (HTTP 500,
+no structured error; a genuine Mosaic/compile toolchain defect on
+sub-lane-tile lane dimensions).  make_phase's auto rule keeps routing
+those shapes to the padded-lattice resident kernel, which compiles fine.
 
     python scripts/repro_stream_aot.py [case_a|case_b]
-
-Each case builds ONE pallas_call and jits a single phase; a crash
-manifests as a Mosaic/XLA internal error (or an HTTP 500 from the remote
-compile helper), not a Python exception from this code.
 """
 
 import os
