@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Physics, SemiConfig
-from ..mesh import splitting
 from ..ops import bsr
 from . import semi
 

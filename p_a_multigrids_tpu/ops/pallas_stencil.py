@@ -31,8 +31,6 @@ loops (/root/reference/transport_tri_semi.F90:543-722, splitting.F90:
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
@@ -40,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .stencil import StencilData, StencilOperator, inv3x3
+from .stencil import StencilOperator
 from ..mesh import splitting
 
 _HIGHEST = jax.lax.Precision.HIGHEST

@@ -414,7 +414,6 @@ class DistributedStencilSolver:
         levels = []
         lvl_specs = []
         meta_lv = []
-        from ..ops.stencil import inv3x3
         for k, lvl in enumerate(h.levels):
             n = lvl.n
             N_loc = -(-n // D)
