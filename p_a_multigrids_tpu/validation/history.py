@@ -66,16 +66,35 @@ def record_history(mesh, cfg: SemiConfig, ncycles: int = 12) -> dict:
     return {"residual_linf": norms.tolist(), "rho": rho}
 
 
+def production_config(n_split: int, **kw) -> SemiConfig:
+    """The PRODUCTION numerical configuration (round 4): full SIP physics,
+    Chebyshev block-Jacobi smoothing, strength-filtered smoothed-
+    aggregation correction of the finest level (config.amg)."""
+    return SemiConfig(n_split=n_split, multi_levels=1, dt=1e8, ntime=1,
+                      n_multigrid=1, amg=True, agg_strength=0.4,
+                      manufactured=True, **kw)
+
+
 def record_zoo(mesh_specs, ncycles: int = 12) -> dict:
-    """Histories over (mesh_path, n_split, levels) specs -> JSON dict."""
+    """Histories over (mesh_path, n_split, levels) specs -> JSON dict.
+
+    ``levels`` may also be the string "amg": the production SA-corrected
+    configuration instead of the reference-active geometric one (key
+    suffix ``:amg``).
+    """
     from ..mesh import topology
 
     out = {}
     for path, n_split, levels in mesh_specs:
         mesh = topology.rcm_reorder(topology.from_msh(path))
-        cfg = reference_active_config(n_split, levels, dtype="float64",
-                                      pallas_phase=False)
-        key = f"{path.rsplit('/', 1)[-1]}:s{n_split}:l{levels}"
+        if levels == "amg":
+            cfg = production_config(n_split, dtype="float64",
+                                    pallas_phase=False)
+            key = f"{path.rsplit('/', 1)[-1]}:s{n_split}:amg"
+        else:
+            cfg = reference_active_config(n_split, levels, dtype="float64",
+                                          pallas_phase=False)
+            key = f"{path.rsplit('/', 1)[-1]}:s{n_split}:l{levels}"
         out[key] = record_history(mesh, cfg, ncycles)
         out[key]["num_macro"] = mesh.num_elements
     return out
@@ -93,6 +112,9 @@ DEFAULT_SPECS = [
     # the bench mesh
     ("/root/reference/Mesh_files/untitled8192.msh", 2, 1),
     ("/root/reference/Mesh_files/untitled8192.msh", 2, 2),
+    # PRODUCTION configuration pins (full SIP + Chebyshev + SA correction)
+    ("/root/reference/Mesh_files/test_sn2.msh", 3, "amg"),
+    ("/root/reference/Mesh_files/multigrid_meshes/2_split.msh", 4, "amg"),
 ]
 
 

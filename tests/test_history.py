@@ -20,7 +20,8 @@ def committed():
 
 def test_committed_covers_default_specs(committed):
     for path, n_split, levels in history.DEFAULT_SPECS:
-        key = f"{path.rsplit('/', 1)[-1]}:s{n_split}:l{levels}"
+        suffix = "amg" if levels == "amg" else f"l{levels}"
+        key = f"{path.rsplit('/', 1)[-1]}:s{n_split}:{suffix}"
         assert key in committed, f"HISTORY.json missing {key}"
         assert len(committed[key]["residual_linf"]) >= 10
 
@@ -46,6 +47,8 @@ def test_multigrid_benefit_shape(committed):
     fams = {}
     for key, rec in committed.items():
         name, s, lv = key.split(":")
+        if lv == "amg":          # production pins are not a level family
+            continue
         fams.setdefault((name, s), []).append((int(lv[1:]), rec["rho"]))
     assert fams
     for (name, s), entries in fams.items():
@@ -65,3 +68,18 @@ def test_histories_contract(committed):
         assert 0 < rec["rho"] < 1, f"{key}: rho={rec['rho']}"
         r = np.asarray(rec["residual_linf"])
         assert r[-1] < r[0]
+
+
+def test_production_amg_history_reproduces_committed(committed,
+                                                     ref_meshdir):
+    """Regression pin for the PRODUCTION configuration (full SIP +
+    Chebyshev + strength-filtered SA correction of the finest level)."""
+    mesh = topology.rcm_reorder(
+        topology.from_msh(f"{ref_meshdir}/test_sn2.msh"))
+    cfg = history.production_config(3, dtype="float64",
+                                    pallas_phase=False)
+    got = history.record_history(mesh, cfg)
+    want = committed["test_sn2.msh:s3:amg"]
+    np.testing.assert_allclose(got["residual_linf"],
+                               want["residual_linf"], rtol=1e-4)
+    assert abs(got["rho"] - want["rho"]) < 1e-3
