@@ -230,13 +230,20 @@ def main():
     x0 = jnp.asarray(np.random.default_rng(0).normal(
         size=(U * C, 3)).astype(np.float32))
     spmv_xla_s = _timed_scan(lambda v: A.spmv(v), x0, n=100)
-    # Pallas banded-one-hot kernel (ops/pallas_bsr) — the production SpMV
+    # Pallas banded-one-hot kernel (ops/pallas_bsr) — the production SpMV.
+    # Measured through the TRANSPOSED entry (apply_t), the contract the
+    # production consumers (the agg cycle) use: the std (E, 3) layout
+    # pads its minor dim to a full 128-lane tile, so a std-layout call
+    # pays two 42x-padded transposes that the pipeline never does.
     from p_a_multigrids_tpu.ops.pallas_bsr import spmv_fast
     spmv_fn = spmv_fast(A, interpret=jax.default_backend() == "cpu",
                         group=C)
     pallas_spmv = spmv_fn is not A.spmv
-    spmv_s = (_timed_scan(lambda v: spmv_fn(v), x0, n=100)
-              if pallas_spmv else spmv_xla_s)
+    if pallas_spmv:
+        x0_t = x0.T
+        spmv_s = _timed_scan(lambda v: spmv_fn.apply_t(v), x0_t, n=100)
+    else:
+        spmv_s = spmv_xla_s
     _mark('spmv bench done')
     spmv_gnnz = nnz / spmv_s / 1e9
     spmv_xla_gnnz = nnz / spmv_xla_s / 1e9
