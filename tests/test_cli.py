@@ -108,6 +108,18 @@ def test_mode9_distributed_devices(capsys, ref_meshdir):
     assert out["L1_error"] < 0.05
 
 
+def test_mode9_distributed_amg_combo(capsys, ref_meshdir):
+    """--devices with --amg: the sharded production configuration through
+    the CLI (SA correction + ring halos inside shard_map)."""
+    out = _run(capsys, [
+        "--mode", "9", "--mesh", f"{ref_meshdir}/test_sn2.msh",
+        "--n-split", "2", "--levels", "1", "--ntime", "2",
+        "--dt", "100000.0", "--devices", "2", "--amg",
+        "--agg-strength", "0.3"])
+    assert out["devices"] == 2
+    assert np.isfinite(out["L1_error"]) and out["L1_error"] < 0.05
+
+
 def test_mode9_expression_flags(capsys):
     """--ic/--bc/--source/--analytical plumbing (incl. scalar constants
     broadcasting to fields); a few smoothing-only steps move the state
