@@ -316,7 +316,11 @@ def _dispatch(args, out, dtype, load_mesh, problem_fns):
 def _run_distributed(args, out, mesh, cfg):
     """--devices N entry: mode 9 through DistributedStencilSolver.
 
-    The sharded solver pads the macro axis and reorders elements (RCM), so
+    The raw mesh is passed straight through: DistributedStencilSolver
+    RCM-reorders it itself in __init__ (stencil_solver.py, the
+    ``reorder_elements(mesh, rcm_order(mesh))`` line) — the CLI path gets
+    the same banded layout (and therefore the same ghost depths) as the
+    benched configuration.  The solver also pads the macro axis, so
     VTU/error output goes through its own to_std()/error() helpers.
     """
     import numpy as np

@@ -191,6 +191,15 @@ class SemiConfig:
     # n_split) and falls back to the streaming V1 kernel, then to the XLA
     # stencil path per level; "resident"/"stream" force one implementation.
     phase_impl: str = "auto"
+    # distributed deep-ghost redundancy cap (parallel/stencil_solver):
+    # a smoothing phase of R rounds on an extended domain needs a ghost
+    # depth He = (R+1)*W and re-smooths 2*He/U_loc redundant rows per
+    # round.  When that fraction would exceed this cap, the phase is
+    # CHUNKED: rounds run in groups of k (largest k with
+    # 2*(k+1)*W <= cap * U_loc, at least 1) with a ring halo exchange of
+    # (k+1)*W between groups — same interior bit-pattern, ~R/k x less
+    # redundant smoothing, R/k messages instead of 1.
+    dist_ghost_max_frac: float = 0.25
     # coarse-level operator construction: "geometric" re-derives each level
     # from rescaled element integrals (reference parity,
     # transport_tri_semi.F90:319-379); "galerkin" forms the variational

@@ -34,18 +34,18 @@ Everything else is macro-local: multigrid transfers never communicate, and
 the coarsest solve either runs replicated (dense inverse after one
 all_gather) or smooths shard-locally.
 
-Multi-host plan (the DCN axis, SURVEY §2/§5): the RCM band is 1-D, so the
-natural pod-scale mesh is ("dp_outer", "dp") with the SAME ring layout —
-contiguous RCM blocks per host, per-chip blocks within a host.  Every
-exchange here is a nearest-neighbor ppermute of packed strips, so on a
-2-D mesh only the two block-boundary chips per host pair talk across DCN
-(one strip message per round), everything else rides ICI; the psum/
-all_gather collectives of the SA correction are hierarchical by XLA
-default.  Nothing in the table layout changes — the device axis is
-flattened Mesh(devices.reshape(-1)) today, and a (hosts, chips) reshape
-of the same ordering is the DCN deployment; this environment has one
-real chip, so that reshape is exercised only as the virtual-device
-dryrun.
+Multi-host (the DCN axis, SURVEY §2/§5): pass ``mesh_shape=(hosts,
+chips)`` and the solver builds the 2-D ``Mesh(devices.reshape(h, c),
+("host", "dp"))`` with the RCM ring flattened row-major over both axes —
+contiguous RCM blocks per host, per-chip blocks within a host.  All
+collectives run over the axis TUPLE (ppermute/psum/all_gather/axis_index
+address the flattened ring), so every ring exchange is nearest-neighbor:
+only the two block-boundary chips of each host pair talk across DCN (one
+strip message per round), everything else rides ICI, and the SA
+correction's psum/all_gather are hierarchical by XLA default.  The
+numerics are mesh-shape-invariant (tests assert 1-D vs 2-D bit equality);
+this environment has one real chip, so the 2-D mesh is exercised on the
+virtual-device dryrun.
 """
 
 from __future__ import annotations
@@ -131,7 +131,7 @@ def _level_tables(op, U_loc: int, dtype):
     return tabs, specs, meta
 
 
-def _ring_halo(x, H: int, n_dev: int, axis: int = -1):
+def _ring_halo(x, H: int, n_dev: int, axis: int = -1, axes=_AXIS):
     """(left, right) width-H halos along ``axis`` via k-hop ring ppermutes.
 
     ``ceil(H / U_loc)`` neighbor hops per side; blocks that wrap around the
@@ -139,6 +139,12 @@ def _ring_halo(x, H: int, n_dev: int, axis: int = -1):
     extended-domain clamp) to out-of-domain rows, which nothing reads —
     see the module docstring.  This is the relaxation of round 3's hard
     ``W <= U_loc`` constraint (VERDICT r3 #7).
+
+    ``axes`` is the mesh axis name — or a TUPLE of names for a 2-D
+    (hosts, chips) mesh, over which ppermute indices address the
+    row-major-flattened ring: chips within a host are ring neighbors and
+    only the two host-boundary chips of each host pair exchange across
+    the outer (DCN) axis.
     """
     x = jnp.moveaxis(x, axis, -1)
     U_loc = x.shape[-1]
@@ -148,16 +154,16 @@ def _ring_halo(x, H: int, n_dev: int, axis: int = -1):
     lt, rt = [], []
     cl = cr = x
     for _ in range(hops):
-        cl = jax.lax.ppermute(cl, _AXIS, fwd)      # block of d-1, d-2, ...
+        cl = jax.lax.ppermute(cl, axes, fwd)       # block of d-1, d-2, ...
         lt.append(cl)
-        cr = jax.lax.ppermute(cr, _AXIS, bwd)      # block of d+1, d+2, ...
+        cr = jax.lax.ppermute(cr, axes, bwd)       # block of d+1, d+2, ...
         rt.append(cr)
     left = jnp.concatenate(lt[::-1], axis=-1)[..., -H:]
     right = jnp.concatenate(rt, axis=-1)[..., :H]
     return (jnp.moveaxis(left, -1, axis), jnp.moveaxis(right, -1, axis))
 
 
-def _strip(tab, meta, x_t, W: int, n_dev: int):
+def _strip(tab, meta, x_t, W: int, n_dev: int, axes=_AXIS):
     """Window halo exchange + local strip selection -> (3, nb, U_loc).
 
     Ring ppermutes of the packed strip rows; issued first so XLA overlaps
@@ -167,7 +173,7 @@ def _strip(tab, meta, x_t, W: int, n_dev: int):
     U_loc = x_t.shape[-1]
     sp = x_t[:, tab["pack_rows"], :]                     # (3, nbc, U_loc)
     rows = sp.reshape(3 * nbc, U_loc).T                  # (U_loc, 3*nbc)
-    from_left, from_right = _ring_halo(rows, W, n_dev, axis=0)
+    from_left, from_right = _ring_halo(rows, W, n_dev, axis=0, axes=axes)
     rows_ext = jnp.concatenate([from_left, rows, from_right], axis=0)
     g = rows_ext[tab["win_src"] + W]                     # (3, U_loc, 3nbc)
     g = g.reshape(3, U_loc, 3, nbc)
@@ -205,16 +211,16 @@ def _mul33(B, v_t):
                       for i in range(3)])
 
 
-def _apply(tab, meta, x_t, with_bc: bool, W, n_dev):
-    sv = _strip(tab, meta, x_t, W, n_dev)
+def _apply(tab, meta, x_t, with_bc: bool, W, n_dev, axes=_AXIS):
+    sv = _strip(tab, meta, x_t, W, n_dev, axes)
     nbr = _planes(tab, x_t, tab["F_t"], tab["X_t"], sv)
     out = _mul33(tab["S_t"], x_t) + jnp.stack(nbr)
     return out + tab["c_aff_t"] if with_bc else out
 
 
-def _sweep(tab, meta, x_t, bp_t, coefs, W, n_dev):
+def _sweep(tab, meta, x_t, bp_t, coefs, W, n_dev, axes=_AXIS):
     for coef in coefs:
-        sv = _strip(tab, meta, x_t, W, n_dev)
+        sv = _strip(tab, meta, x_t, W, n_dev, axes)
         off = _planes(tab, x_t, tab["Fp_t"], tab["Xp_t"], sv)
         z = jnp.stack([bp_t[i] - x_t[i] - off[i] for i in range(3)])
         x_t = x_t + coef * z
@@ -247,14 +253,36 @@ class DistributedStencilSolver:
     """Sharded counterpart of SemiSolver's transposed stencil V-cycle."""
 
     def __init__(self, mesh: topology.MacroMesh, cfg: SemiConfig,
-                 devices=None):
+                 devices=None, mesh_shape=None):
+        """``mesh_shape=(hosts, chips)`` builds the 2-D device mesh of the
+        multi-host (DCN) deployment: the RCM ring is flattened row-major
+        over ("host", "dp"), every collective runs over the axis tuple,
+        and the table shardings shard the macro axis over both axes —
+        contiguous RCM blocks per host, per-chip blocks within a host
+        (SURVEY §2/§5; the reference's partitioning seam is
+        ``getProcessor``, /root/reference/Generic.F90:387-405).  The
+        numerics are mesh-shape-invariant: only which ppermute hops cross
+        the outer axis changes."""
         if cfg.solver not in (Solver.CHEBYSHEV, Solver.BLOCK_JACOBI):
             raise ValueError("distributed stencil solver needs the "
                              "Chebyshev or block-Jacobi smoother")
         devices = devices if devices is not None else jax.devices()
         D = len(devices)
-        self.jmesh = Mesh(np.asarray(devices), axis_names=(_AXIS,))
+        if mesh_shape is not None:
+            h, c = mesh_shape
+            if h * c != D:
+                raise ValueError(f"mesh_shape {mesh_shape} != {D} devices")
+            self.jmesh = Mesh(np.asarray(devices).reshape(h, c),
+                              axis_names=("host", _AXIS))
+            self.axes = ("host", _AXIS)
+        else:
+            self.jmesh = Mesh(np.asarray(devices), axis_names=(_AXIS,))
+            self.axes = (_AXIS,)
+        self.mesh_shape = mesh_shape
         self.D = D
+        # collective axis arg (plain name on the 1-D mesh for back-compat)
+        self._ax = self.axes if len(self.axes) > 1 else _AXIS
+        self._xspec = P(None, None, self._ax)
 
         mesh = topology.reorder_elements(mesh, topology.rcm_order(mesh))
         mesh, self.n_active = partition.pad_mesh(mesh, D)
@@ -307,9 +335,19 @@ class DistributedStencilSolver:
     def _build_phases(self):
         """Per-level fused Pallas phase kernels for the sharded cycle.
 
-        Returns a list (per level) of ``dict(ker, He, tabs, specs)`` or
-        None entries; ``tabs`` are the per-device extended-domain tables
-        stacked on a leading device axis.
+        Returns a list (per level) of ``dict(ker, He, chunk, tabs,
+        specs)`` or None entries; ``tabs`` are the per-device extended-
+        domain tables stacked on a leading device axis.
+
+        Ghost-depth policy (VERDICT r4 #1b): a phase of R rounds run as
+        ONE kernel needs He = (R+1)*W and re-smooths 2*He/U_loc redundant
+        ghost rows every round.  When that exceeds
+        ``cfg.dist_ghost_max_frac``, rounds are CHUNKED into groups of
+        ``chunk`` (largest k with 2*(k+1)*W within the cap, min 1): the
+        ring exchange refills a (k+1)*W halo between groups, the interior
+        stays bit-exact, and redundant smoothing drops ~R/chunk-fold at
+        the cost of R/chunk messages (same per-message volume class).
+        ``ghost_report()`` quantifies the choice per level.
         """
         cfg = self.cfg
         interp = jax.default_backend() == "cpu"
@@ -326,9 +364,14 @@ class DistributedStencilSolver:
             if li == nl - 1:
                 R = max(R, len(self._coefs_coarse))
             Wr = self.meta[li]["W"]
-            # halo depth: (rounds + 1) bands of reach Wr, capped at the
-            # whole mesh (beyond which extension is pure clamp padding)
-            He = 0 if self.D == 1 else min((R + 1) * Wr, self.U)
+            if self.D == 1 or Wr == 0:
+                chunk, He = R, 0
+            else:
+                cap = max(cfg.dist_ghost_max_frac, 0.0) * self.U_loc
+                ks = [k for k in range(1, R + 1)
+                      if 2 * (k + 1) * Wr <= cap]
+                chunk = max(ks) if ks else 1
+                He = min((chunk + 1) * Wr, self.U)
             U_ext = self.U_loc + 2 * He
             try:
                 kers = None
@@ -361,9 +404,36 @@ class DistributedStencilSolver:
             stacked = {key: np.stack([h[key] for h in host])
                        for key in host[0]}
             specs = {key: P(_AXIS) for key in stacked}
-            out.append(dict(ker=kers[0], He=He, tabs=stacked, specs=specs))
+            out.append(dict(ker=kers[0], He=He, chunk=chunk, tabs=stacked,
+                            specs=specs))
         if all(p is None for p in out):
             return None
+        return out
+
+    def ghost_report(self):
+        """Per-level deep-ghost cost of the sharded phase kernels.
+
+        ``redundant_frac`` = 2*He/U_loc: the fraction of EXTRA rows each
+        ghost-zone round smooths relative to this shard's interior — the
+        distributed design's redundant-work overhead, reported explicitly
+        so scaling artifacts carry it (VERDICT r4 #1a).  ``n_exchanges``
+        is ring messages per phase (1 = classic deep ghost).  Entries are
+        None for levels whose phase kernel is disabled.
+        """
+        out = []
+        for li, ph in enumerate(self._phases or []):
+            if ph is None:
+                out.append(None)
+                continue
+            R = len(self._coefs[li])
+            if li == len(self.tabs) - 1:
+                R = max(R, len(self._coefs_coarse))
+            out.append(dict(
+                level=li, W=int(self.meta[li]["W"]), He=int(ph["He"]),
+                chunk=int(ph["chunk"]), rounds=int(R),
+                U_loc=int(self.U_loc),
+                redundant_frac=round(2.0 * ph["He"] / self.U_loc, 4),
+                n_exchanges=int(-(-R // ph["chunk"]))))
         return out
 
     # -- setup: distributed aggregation hierarchy ----------------------------
@@ -398,11 +468,25 @@ class DistributedStencilSolver:
         Npad0 = D * (-(-N0 // D))
         rc_cols = np.zeros((D, Npad0, Dr_c), np.int32)
         rc_vals = np.zeros((D, Npad0, Dr_c, 3, 3), dt)
-        for d in range(D):
-            for a in range(na):
-                sl = np.nonzero(own[a] == d)[0]
-                rc_cols[d, a, :len(sl)] = r_cols[a, sl] - d * E_loc
-                rc_vals[d, a, :len(sl)] = r_vals[a, sl]
+        # vectorized slot packing (the r4 Python triple loop over
+        # D x na x members measured minutes at U=8192/D=8 — VERDICT r4
+        # weak #8): stable-sort each row's slots by owning device; the
+        # within-group rank is arange minus the group start (cummax over
+        # the change points), reproducing the loop's ascending-slot order
+        Dr = own.shape[1]
+        order = np.argsort(own, axis=1, kind="stable")       # (na, Dr)
+        so = np.take_along_axis(own, order, axis=1)
+        ar = np.broadcast_to(np.arange(Dr)[None, :], (na, Dr))
+        change = np.empty((na, Dr), bool)
+        change[:, 0] = True
+        change[:, 1:] = so[:, 1:] != so[:, :-1]
+        start = np.maximum.accumulate(np.where(change, ar, 0), axis=1)
+        a_idx = np.repeat(np.arange(na), Dr)
+        d_idx = so.ravel()
+        p_idx = (ar - start).ravel()
+        src = order.ravel()
+        rc_cols[d_idx, a_idx, p_idx] = r_cols[a_idx, src] - d_idx * E_loc
+        rc_vals[d_idx, a_idx, p_idx] = r_vals[a_idx, src]
         p_cols = np.asarray(lvl0.p_cols)                 # (E, Dp) agg ids
         p_vals = np.asarray(lvl0.p_vals)
         l0 = dict(
@@ -464,12 +548,23 @@ class DistributedStencilSolver:
                     cycles=self.cfg.agg_cycles, E_loc=E_loc, Npad0=Npad0)
         return at, specs, meta
 
+    def _remap_specs(self, tree):
+        """1-D specs (built with the _AXIS name) -> this mesh's specs: on
+        a 2-D (host, dp) mesh every _AXIS entry becomes the axis tuple,
+        sharding the same dimension over both axes in ring order."""
+        if len(self.axes) == 1:
+            return tree
+        conv = lambda p: P(*[self.axes if e == _AXIS else e for e in p])
+        return jax.tree.map(conv, tree,
+                            is_leaf=lambda x: isinstance(x, P))
+
     def _put_tables(self):
         # one batched transfer for everything (per-array puts pay a full
         # round trip each on remote TPUs)
         def shardings_of(specs):
             return jax.tree.map(
-                lambda s: NamedSharding(self.jmesh, s), specs,
+                lambda s: NamedSharding(self.jmesh, s),
+                self._remap_specs(specs),
                 is_leaf=lambda x: isinstance(x, P))
 
         payload = [self.tabs, [ph["tabs"] if ph else None
@@ -486,18 +581,18 @@ class DistributedStencilSolver:
         b = b_t - tab["c_aff_t"] if with_bc else b_t
         return _mul33(tab["Dinv_t"], b)
 
-    @staticmethod
-    def _pdot(a, b):
+    def _pdot(self, a, b):
         """Globally-reduced inner product (the psum dot for shard_map)."""
-        return jax.lax.psum(jnp.vdot(a.reshape(-1), b.reshape(-1)), _AXIS)
+        return jax.lax.psum(jnp.vdot(a.reshape(-1), b.reshape(-1)),
+                            self._ax)
 
     def _coarse_cg(self, tab, meta, x_t, b_t):
         """coarse_krylov inside shard_map: block-Jacobi PCG with psum
         dots — the distributed mirror of SemiSolver._coarse_cg_t."""
         from ..ops import krylov
-        W, D = self.W, self.D
+        W, D, ax = self.W, self.D, self._ax
         x_sol, _, _ = krylov.pcg(
-            lambda v: _apply(tab, meta, v, False, W, D), b_t, x_t,
+            lambda v: _apply(tab, meta, v, False, W, D, ax), b_t, x_t,
             precond=lambda r: _mul33(tab["Dinv_t"], r), tol=0.0,
             maxiter=self.cfg.coarse_sweeps, dot=self._pdot)
         return x_sol
@@ -508,26 +603,36 @@ class DistributedStencilSolver:
 
         Returns (x_new, z) interior slices; bit-exact vs the serial kernel
         (halo rows are relaxed redundantly with identical arithmetic).
+        Rounds run in groups of ``chunk`` with a ring exchange between
+        groups — each group's interior result is bit-identical to the
+        serial kernel's state after those rounds, so refilled halos are
+        exact and chunking never changes the answer (see _build_phases).
         """
         ph = self._phases[li]
-        ker, He = ph["ker"], ph["He"]
+        ker, He, chunk = ph["ker"], ph["He"], ph["chunk"]
         tabs = {k: v[0] for k, v in ptab.items()}        # squeeze dev axis
-        if He > 0:
-            xb = jnp.concatenate([x_t, bp_t], axis=0)    # (6, C, U_loc)
-            lh, rh = _ring_halo(xb, He, self.D, axis=-1)
-            x_ext = jnp.concatenate([lh[:3], x_t, rh[:3]], axis=-1)
-            bp_ext = jnp.concatenate([lh[3:], bp_t, rh[3:]], axis=-1)
-        else:
-            x_ext, bp_ext = x_t, bp_t
-        x_new, z = ker.phase_with(tabs, x_ext, bp_ext, coefs)
-        if He > 0:
-            x_new = x_new[:, :, He:He + self.U_loc]
+        if He == 0:
+            return ker.phase_with(tabs, x_t, bp_t, coefs)
+        # bp is loop-invariant: exchange its halo once for all groups
+        lhb, rhb = _ring_halo(bp_t, He, self.D, axis=-1, axes=self._ax)
+        bp_ext = jnp.concatenate([lhb, bp_t, rhb], axis=-1)
+        z = None
+        for g0 in range(0, len(coefs), chunk):
+            g = coefs[g0:g0 + chunk]
+            lh, rh = _ring_halo(x_t, He, self.D, axis=-1, axes=self._ax)
+            x_ext = jnp.concatenate([lh, x_t, rh], axis=-1)
+            x_new, z = ker.phase_with(tabs, x_ext, bp_ext, g)
+            x_t = x_new[:, :, He:He + self.U_loc]
             z = z[:, :, He:He + self.U_loc]
-        return x_new, z
+        return x_t, z
 
     # -- distributed aggregation correction ----------------------------------
     def _ag(self, y_loc):
-        return jax.lax.all_gather(y_loc, _AXIS, axis=0, tiled=True)
+        return jax.lax.all_gather(y_loc, self._ax, axis=0, tiled=True)
+
+    def _flat_idx(self):
+        """This shard's position on the flattened ring (host-major)."""
+        return jax.lax.axis_index(self._ax)
 
     @staticmethod
     def _rowop(cols, vals, x_rep):
@@ -537,7 +642,7 @@ class DistributedStencilSolver:
         lvl = at["levels"][k]
         mv = self._ameta["levels"][k]
         w = jnp.asarray(mv["omega"], x_rep.dtype)
-        d = jax.lax.axis_index(_AXIS)
+        d = self._flat_idx()
         N_loc = mv["N_loc"]
         b_loc = jax.lax.dynamic_slice_in_dim(b_rep, d * N_loc, N_loc)
         for _ in range(sweeps):
@@ -554,7 +659,7 @@ class DistributedStencilSolver:
         sweeps = self._ameta["sweeps"]
         x = jnp.zeros_like(b_rep)
         x = self._agg_smooth(at, k, x, b_rep, sweeps)
-        d = jax.lax.axis_index(_AXIS)
+        d = self._flat_idx()
         N_loc = mv["N_loc"]
         b_loc = jax.lax.dynamic_slice_in_dim(b_rep, d * N_loc, N_loc)
         r_loc = b_loc - self._rowop(lvl["cols"][0], lvl["vals"][0], x)
@@ -585,7 +690,7 @@ class DistributedStencilSolver:
         r_loc = jnp.transpose(r_t, (2, 1, 0)).reshape(U_loc * C, 3)
         l0 = at["l0"]
         part = self._rowop(l0["r_cols"][0], l0["r_vals"][0], r_loc)
-        rc = jax.lax.psum(part, _AXIS)                   # (Npad0, 3) repl.
+        rc = jax.lax.psum(part, self._ax)                # (Npad0, 3) repl.
         e = self._agg_vcycle(at, 0, rc)
         for _ in range(self._ameta["cycles"] - 1):
             lvl0 = at["levels"][0]
@@ -601,7 +706,7 @@ class DistributedStencilSolver:
         nl = len(tabs)
         with_bc = li == 0 and not hom
         tab, meta = tabs[li], self.meta[li]
-        W, D = self.W, self.D
+        W, D, ax = self.W, self.D, self._ax
         bp = self._bp(tab, b_t, with_bc)
         ph = (self._phases[li] if self._phases is not None else None)
         pt = ptabs[li] if ph is not None else None
@@ -611,9 +716,9 @@ class DistributedStencilSolver:
             if ph is not None:
                 x, z = self._phase_dist(li, pt, x, bp, coefs)
                 return (x, _mul33(tab["S_t"], z)) if want_z else x
-            x = _sweep(tab, meta, x, bp, coefs, W, D)
+            x = _sweep(tab, meta, x, bp, coefs, W, D, ax)
             if want_z:
-                return x, b_t - _apply(tab, meta, x, with_bc, W, D)
+                return x, b_t - _apply(tab, meta, x, with_bc, W, D, ax)
             return x
 
         coefs = self._coefs[li]
@@ -625,11 +730,11 @@ class DistributedStencilSolver:
             return smooth(x_t, coefs)
         if li == nl - 1:
             if nl > 1 and "coarse_inv" in tab:
-                full = jax.lax.all_gather(b_t, _AXIS)    # (D, 3, C, U_loc)
+                full = jax.lax.all_gather(b_t, ax)       # (D, 3, C, U_loc)
                 flat = jnp.transpose(full, (1, 2, 0, 3)).reshape(-1)
                 x_full = (tab["coarse_inv"] @ flat).reshape(
                     3, meta["C"], D, self.U_loc)
-                return x_full[:, :, jax.lax.axis_index(_AXIS)]
+                return x_full[:, :, self._flat_idx()]
             if cfg.coarse_krylov and nl > 1:
                 return self._coarse_cg(tab, meta, x_t, b_t)
             return smooth(x_t, self._coefs_coarse)
@@ -644,21 +749,23 @@ class DistributedStencilSolver:
 
     def _build_step(self):
         cfg = self.cfg
-        in_specs = (P(None, None, _AXIS),
-                    (tuple(self.specs),
-                     tuple(ph["specs"] if ph else None
-                           for ph in (self._phases or [])),
-                     self._aspecs))
+        in_specs = (self._xspec,
+                    self._remap_specs(
+                        (tuple(self.specs),
+                         tuple(ph["specs"] if ph else None
+                               for ph in (self._phases or [])),
+                         self._aspecs)))
         shard_map = jax.shard_map
 
         def step_local(T_t, all_tabs):
             tabs, ptabs, atabs = all_tabs
             tab0, meta0 = tabs[0], self.meta[0]
+            ax = self._ax
             b_t = (_mul33(tab0["M_t"], T_t) / cfg.dt
                    + _mul33(tab0["M_t"], tab0["source_t"]))
             if cfg.theta < 1.0:
                 # spatial operator via the stencil: L = (A - M/dt) / theta
-                Ax = _apply(tab0, meta0, T_t, True, self.W, self.D)
+                Ax = _apply(tab0, meta0, T_t, True, self.W, self.D, ax)
                 spat = (Ax - _mul33(tab0["M_t"], T_t) / cfg.dt) / cfg.theta
                 b_t = b_t - (1.0 - cfg.theta) * spat
 
@@ -667,9 +774,9 @@ class DistributedStencilSolver:
                 # the distributed mirror of SemiSolver._solve_system_t
                 from ..ops import krylov
                 A_lin = lambda x: _apply(tab0, meta0, x, False,
-                                         self.W, self.D)
+                                         self.W, self.D, ax)
                 c = _apply(tab0, meta0, jnp.zeros_like(b_t), True,
-                           self.W, self.D)
+                           self.W, self.D, ax)
                 precond = lambda r: self._vcycle(
                     tabs, ptabs, atabs, 0, jnp.zeros_like(r), r, hom=True)
                 method = (krylov.pcg if not cfg.physics.advection
@@ -686,7 +793,7 @@ class DistributedStencilSolver:
             return T_t
 
         fn = shard_map(step_local, mesh=self.jmesh,
-                       in_specs=in_specs, out_specs=P(None, None, _AXIS),
+                       in_specs=in_specs, out_specs=self._xspec,
                        check_vma=False)
         return jax.jit(fn)
 
@@ -694,7 +801,7 @@ class DistributedStencilSolver:
     def initial_condition(self):
         from ..ops import fused
         T = fused.to_t(self.serial.initial_condition())
-        sh = NamedSharding(self.jmesh, P(None, None, _AXIS))
+        sh = NamedSharding(self.jmesh, self._xspec)
         return jax.device_put(T, sh)
 
     def step(self, T_t):
@@ -729,7 +836,7 @@ class DistributedStencilSolver:
         full = np.zeros((self.U, C, T_np.shape[-1]), T_np.dtype)
         full[: self.n_active] = T_np
         T_t = jnp.transpose(jnp.asarray(full), (2, 1, 0))
-        sh = NamedSharding(self.jmesh, P(None, None, _AXIS))
+        sh = NamedSharding(self.jmesh, self._xspec)
         return jax.device_put(T_t, sh), step
 
     def error(self, T_t):

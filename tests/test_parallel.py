@@ -121,7 +121,8 @@ def test_stencil_solver_gate():
     assert dist.error(out).mean() < 0.01
 
 
-def _stencil_parity(cfg, mesh=None, n_dev=8, atol=1e-12, rtol=1e-11):
+def _stencil_parity(cfg, mesh=None, n_dev=8, atol=1e-12, rtol=1e-11,
+                    mesh_shape=None):
     """Run DistributedStencilSolver vs its serial twin; assert bit-match."""
     import jax
     import jax.numpy as jnp
@@ -134,7 +135,8 @@ def _stencil_parity(cfg, mesh=None, n_dev=8, atol=1e-12, rtol=1e-11):
     mesh = mesh if mesh is not None else structured.tri_mesh(
         16, 4, 0.25, 0.25)
     dist = DistributedStencilSolver(mesh, cfg,
-                                    devices=jax.devices()[:n_dev])
+                                    devices=jax.devices()[:n_dev],
+                                    mesh_shape=mesh_shape)
     serial = dist.serial
     T0_t = dist.initial_condition()
     out_d = dist.run(T0_t)
@@ -144,6 +146,7 @@ def _stencil_parity(cfg, mesh=None, n_dev=8, atol=1e-12, rtol=1e-11):
     np.testing.assert_allclose(dist.to_std(out_d),
                                np.asarray(T)[: dist.n_active],
                                rtol=rtol, atol=atol)
+    return dist
 
 
 def test_stencil_solver_krylov_matches_serial():
@@ -242,3 +245,88 @@ def test_stencil_solver_wide_window_many_devices():
     cfg = SemiConfig(n_split=1, multi_levels=1, dt=0.5, ntime=1,
                      n_multigrid=1, dtype="float64")
     _stencil_parity(cfg, mesh=mesh, n_dev=8)
+
+
+def test_stencil_solver_2d_mesh_bitexact():
+    """2-D (hosts, chips) device mesh — the multi-host/DCN axis of
+    SURVEY §5 (reference partitioning seam: Generic.F90:387-405).  The
+    RCM ring flattens row-major over ("host", "dp") and every collective
+    runs over the axis tuple; the result must be BIT-identical to both
+    the serial solver and the 1-D mesh (geometric config: no psum
+    reduction-order caveat)."""
+    import jax
+    from p_a_multigrids_tpu.parallel.stencil_solver import (
+        DistributedStencilSolver)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = structured.tri_mesh(16, 4, 0.25, 0.25)
+    cfg = SemiConfig(n_split=2, multi_levels=2, dt=0.5, ntime=2,
+                     n_multigrid=2, pallas_phase=True, dtype="float64")
+    d2 = _stencil_parity(cfg, mesh=mesh, n_dev=8, mesh_shape=(2, 4))
+    d1 = DistributedStencilSolver(mesh, cfg, devices=jax.devices()[:8])
+    out1 = d1.run(d1.initial_condition())
+    out2 = d2.run(d2.initial_condition())
+    np.testing.assert_array_equal(d1.to_std(out1), d2.to_std(out2))
+
+
+def test_stencil_solver_2d_mesh_production_amg():
+    """The full production configuration (fused Pallas phases + sharded
+    SA correction + psum-dot Krylov machinery) on the (2, 4) mesh."""
+    cfg = SemiConfig(n_split=2, multi_levels=1, dt=1e8, ntime=2,
+                     n_multigrid=2, amg=True, agg_strength=0.3,
+                     pallas_phase=True, dtype="float64")
+    _stencil_parity(cfg, n_dev=8, mesh_shape=(2, 4), atol=1e-9, rtol=1e-9)
+
+
+def test_stencil_solver_chunked_vs_deep_ghost():
+    """Chunked phase execution (dist_ghost_max_frac -> chunk=1) and the
+    classic one-message deep ghost (frac huge -> single chunk) produce
+    BIT-identical results: chunk boundaries refill halos from interiors
+    that are themselves bit-exact vs the serial kernel."""
+    import dataclasses
+    import jax
+    from p_a_multigrids_tpu.parallel.stencil_solver import (
+        DistributedStencilSolver)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = structured.tri_mesh(16, 4, 0.25, 0.25)
+    base = SemiConfig(n_split=2, multi_levels=2, dt=0.5, ntime=1,
+                      n_multigrid=2, pallas_phase=True, dtype="float64")
+    outs = {}
+    reports = {}
+    for frac in (0.0, 1e9):
+        cfg = dataclasses.replace(base, dist_ghost_max_frac=frac)
+        dist = DistributedStencilSolver(mesh, cfg,
+                                        devices=jax.devices()[:4])
+        outs[frac] = dist.to_std(dist.run(dist.initial_condition()))
+        reports[frac] = dist.ghost_report()
+    # the cap actually changed the execution shape
+    assert reports[0.0][0]["chunk"] == 1
+    assert reports[0.0][0]["n_exchanges"] > 1
+    assert reports[1e9][0]["n_exchanges"] == 1
+    assert reports[1e9][0]["He"] > reports[0.0][0]["He"]
+    np.testing.assert_array_equal(outs[0.0], outs[1e9])
+
+
+def test_ghost_report_fields():
+    """ghost_report quantifies the deep-ghost redundancy per level
+    (VERDICT r4 #1): He = (chunk+1)*W (capped), redundant_frac =
+    2*He/U_loc."""
+    import jax
+    from p_a_multigrids_tpu.parallel.stencil_solver import (
+        DistributedStencilSolver)
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = structured.tri_mesh(16, 4, 0.25, 0.25)
+    cfg = SemiConfig(n_split=2, multi_levels=2, dt=0.5, ntime=1,
+                     n_multigrid=1, pallas_phase=True, dtype="float64")
+    dist = DistributedStencilSolver(mesh, cfg, devices=jax.devices()[:4])
+    rep = dist.ghost_report()
+    assert len(rep) == 2
+    for lv in rep:
+        assert lv["He"] <= (lv["chunk"] + 1) * lv["W"]
+        assert lv["redundant_frac"] == round(2 * lv["He"] / lv["U_loc"], 4)
+        assert lv["n_exchanges"] == -(-lv["rounds"] // lv["chunk"])
