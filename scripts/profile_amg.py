@@ -9,6 +9,10 @@ import os
 import sys
 import time
 
+# NOTE: sys.path insertion is safe here; a PYTHONPATH env var pointing at
+# the repo breaks the axon TPU plugin registration in this environment
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 
 import numpy as np
