@@ -1053,7 +1053,9 @@ class SemiSolver:
                 coefs = self._phase_coefs(li, cfg.n_smooth)
                 x_t, z_t = ph.phase(x_t, bp, coefs)
                 x_t = self._agg_correct_t(li, x_t, ph.mul_self(z_t))
-                return ph.phase(x_t, bp, coefs)[0]
+                # post-smooth: the residual round is skipped (want_z
+                # saves one grid round; z unused here and below)
+                return ph.phase(x_t, bp, coefs, want_z=False)[0]
             if li == nl - 1:
                 if nl > 1 and self._coarse_inv_t is not None:
                     shape = x_t.shape
@@ -1062,7 +1064,8 @@ class SemiSolver:
                 if cfg.coarse_krylov and nl > 1:
                     return self._coarse_cg_t(li, x_t, b_t)
                 sweeps = cfg.coarse_sweeps if nl > 1 else cfg.n_smooth
-                return ph.phase(x_t, bp, self._phase_coefs(li, sweeps))[0]
+                return ph.phase(x_t, bp, self._phase_coefs(li, sweeps),
+                                want_z=False)[0]
             coefs = self._phase_coefs(li, cfg.n_smooth)
             x_t, z_t = ph.phase(x_t, bp, coefs)
             r_t = ph.mul_self(z_t)                 # r = D z = b - A x
@@ -1074,7 +1077,7 @@ class SemiSolver:
                 # levels) for marginal benefit below the top pairs
                 e_t = self._vcycle_t(li + 1, e_t, bc_, hom)
             x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
-            return ph.phase(x_t, bp, coefs)[0]
+            return ph.phase(x_t, bp, coefs, want_z=False)[0]
         if self._agg is not None and li == self._agg_li:
             x_t = self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
             r_t = b_t - op.apply(x_t, with_bc)

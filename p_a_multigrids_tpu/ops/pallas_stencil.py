@@ -318,13 +318,17 @@ class PhaseOperator:
         self._calls[n_rounds] = call
         return call
 
-    def phase(self, x_t, bp_t, coefs):
+    def phase(self, x_t, bp_t, coefs, want_z: bool = True):
         """Run one relaxation phase: len(coefs) rounds over the whole mesh.
 
         Args:
           x_t:   (3, C, U) state in transposed layout
           bp_t:  (3, C, U) premultiplied RHS D^-1 (b - c_aff)
           coefs: python list of per-round step sizes (1/root_k or omega)
+          want_z: False skips the trailing coef-0 residual round — the
+            returned z is one round STALE and must not be used.  Callers
+            that only need the smoothed state (post-smooth, coarse-level
+            phases) save one full grid round per phase (~6-12%).
         Returns:
           (x_new, z) with z = D^-1 (b - A x_new) — multiply by the self
           blocks (StencilOperator.mul_self) to get the true residual.
@@ -332,16 +336,21 @@ class PhaseOperator:
         tabs = dict(offs=jnp.asarray(self.offs), Fp_t=self.Fp_t,
                     Xp_g=self.Xp_g, src_rel=self.src_rel, src_c=self.src_c,
                     intra_oh=self.intra_oh, cross_oh=self.cross_oh)
-        return self.phase_with(tabs, x_t, bp_t, coefs)
+        return self.phase_with(tabs, x_t, bp_t, coefs, want_z)
 
-    def phase_with(self, tabs: dict, x_t, bp_t, coefs):
+    def _coefs_arr(self, coefs, want_z: bool):
+        tail = [0.0] if want_z else []
+        return jnp.asarray(
+            np.concatenate([[0.0], np.asarray(coefs, np.float64), tail])
+            .astype(self.dtype))
+
+    def phase_with(self, tabs: dict, x_t, bp_t, coefs,
+                   want_z: bool = True):
         """phase() with the per-mesh tables passed explicitly — lets the
         distributed solver reuse ONE kernel with per-device (extended-
         domain) tables inside shard_map."""
-        n_rounds = len(coefs) + 2
-        coefs_arr = jnp.asarray(
-            np.concatenate([[0.0], np.asarray(coefs, np.float64), [0.0]])
-            .astype(self.dtype))
+        n_rounds = len(coefs) + 1 + int(want_z)
+        coefs_arr = self._coefs_arr(coefs, want_z)
         call = self._call(n_rounds)
         x_new, z = call(tabs["offs"], coefs_arr, x_t, bp_t,
                         tabs["Fp_t"], tabs["Xp_g"], tabs["src_rel"],
@@ -753,19 +762,18 @@ class PhaseOperatorResident(PhaseOperator):
         self._calls[n_rounds] = call
         return call
 
-    def phase(self, x_t, bp_t, coefs):
+    def phase(self, x_t, bp_t, coefs, want_z: bool = True):
         """Same contract as PhaseOperator.phase: (3, C, U) in/out."""
         tabs = dict(offs=jnp.asarray(self.offs), Fp_pad=self.Fp_pad,
                     Xp_g=self.Xp_g, pack_oh=self.pack_oh,
                     cross_oh_pad=self.cross_oh_pad, masks=self.masks,
                     src_rel=self.src_rel, src_cp=self.src_cp)
-        return self.phase_with(tabs, x_t, bp_t, coefs)
+        return self.phase_with(tabs, x_t, bp_t, coefs, want_z)
 
-    def phase_with(self, tabs: dict, x_t, bp_t, coefs):
-        n_rounds = len(coefs) + 2
-        coefs_arr = jnp.asarray(
-            np.concatenate([[0.0], np.asarray(coefs, np.float64), [0.0]])
-            .astype(self.dtype))
+    def phase_with(self, tabs: dict, x_t, bp_t, coefs,
+                   want_z: bool = True):
+        n_rounds = len(coefs) + 1 + int(want_z)
+        coefs_arr = self._coefs_arr(coefs, want_z)
         call = self._call(n_rounds)
         perm = jnp.asarray(self.perm)
         pad = jnp.zeros((3, self.Cp, self.U), x_t.dtype)

@@ -598,7 +598,7 @@ class DistributedStencilSolver:
         return x_sol
 
     # -- phase kernel on the extended domain ---------------------------------
-    def _phase_dist(self, li, ptab, x_t, bp_t, coefs):
+    def _phase_dist(self, li, ptab, x_t, bp_t, coefs, want_z: bool = True):
         """One fused smoothing phase on this shard's extended domain.
 
         Returns (x_new, z) interior slices; bit-exact vs the serial kernel
@@ -612,16 +612,20 @@ class DistributedStencilSolver:
         ker, He, chunk = ph["ker"], ph["He"], ph["chunk"]
         tabs = {k: v[0] for k, v in ptab.items()}        # squeeze dev axis
         if He == 0:
-            return ker.phase_with(tabs, x_t, bp_t, coefs)
+            return ker.phase_with(tabs, x_t, bp_t, coefs, want_z)
         # bp is loop-invariant: exchange its halo once for all groups
         lhb, rhb = _ring_halo(bp_t, He, self.D, axis=-1, axes=self._ax)
         bp_ext = jnp.concatenate([lhb, bp_t, rhb], axis=-1)
         z = None
-        for g0 in range(0, len(coefs), chunk):
+        n = len(coefs)
+        for g0 in range(0, n, chunk):
             g = coefs[g0:g0 + chunk]
             lh, rh = _ring_halo(x_t, He, self.D, axis=-1, axes=self._ax)
             x_ext = jnp.concatenate([lh, x_t, rh], axis=-1)
-            x_new, z = ker.phase_with(tabs, x_ext, bp_ext, g)
+            # the residual round runs only on the final group (and only
+            # when the caller consumes z)
+            wz = want_z and (g0 + chunk >= n)
+            x_new, z = ker.phase_with(tabs, x_ext, bp_ext, g, wz)
             x_t = x_new[:, :, He:He + self.U_loc]
             z = z[:, :, He:He + self.U_loc]
         return x_t, z
@@ -714,7 +718,7 @@ class DistributedStencilSolver:
 
         def smooth(x, coefs, want_z=False):
             if ph is not None:
-                x, z = self._phase_dist(li, pt, x, bp, coefs)
+                x, z = self._phase_dist(li, pt, x, bp, coefs, want_z)
                 return (x, _mul33(tab["S_t"], z)) if want_z else x
             x = _sweep(tab, meta, x, bp, coefs, W, D, ax)
             if want_z:
