@@ -200,6 +200,23 @@ class SemiConfig:
     # (k+1)*W between groups — same interior bit-pattern, ~R/k x less
     # redundant smoothing, R/k messages instead of 1.
     dist_ghost_max_frac: float = 0.25
+    # macro-pack factor for coarse stencil levels (ops/stencil.pack_stencil):
+    # level li >= 1 is re-indexed as (U/p packs) x (p*C children) when
+    # U % p == 0 and p*C <= 64, so its fused phase kernel runs ~p-fold
+    # fewer latency-bound grid steps (the geometric coarse level is almost
+    # pure per-step floor, docs/PROFILE_r4.md).  Pure relabeling of the
+    # same operator; 1 disables.  Levels carrying the SA correction, the
+    # dense coarse inverse, or a Galerkin rebuild below them are skipped.
+    coarse_pack: int = 1
+    # coarsest-level Chebyshev polynomial: by default the coarse phase
+    # repeats the fine degree (cheb_degree) floor(coarse_sweeps/degree)
+    # times — two stacked deg-6 polynomials target the same interval
+    # twice.  Setting a degree here builds ONE polynomial of that degree
+    # (with coarse_cheb_lower, defaulting to cheb_lower) for the coarse
+    # phase instead: a deg-8 single sweep beats deg-6 x 2 on the interval
+    # it actually needs, in 2/3 the latency-bound grid rounds.
+    coarse_cheb_degree: int | None = None
+    coarse_cheb_lower: float | None = None
     # coarse-level operator construction: "geometric" re-derives each level
     # from rescaled element integrals (reference parity,
     # transport_tri_semi.F90:319-379); "galerkin" forms the variational

@@ -626,6 +626,22 @@ def restrict_t(r_fine_t: jax.Array, n_coarse: int) -> jax.Array:
     return jnp.einsum("cf,kfu->kcu", jnp.asarray(parent_oh, dt_), contrib)
 
 
+def pack_x_t(x_t: jax.Array, p: int) -> jax.Array:
+    """(3, C, U) -> (3, p*C, U/p) in ops.stencil.pack_stencil order:
+    macro u = q*p + j becomes child block j of pack q."""
+    _, C, U = x_t.shape
+    x = x_t.reshape(3, C, U // p, p)
+    return jnp.transpose(x, (0, 3, 1, 2)).reshape(3, p * C, U // p)
+
+
+def unpack_x_t(x_t: jax.Array, p: int) -> jax.Array:
+    """Inverse of pack_x_t: (3, p*C, U/p) -> (3, C, U)."""
+    _, Cp_, Un = x_t.shape
+    C = Cp_ // p
+    x = x_t.reshape(3, p, C, Un)
+    return jnp.transpose(x, (0, 2, 3, 1)).reshape(3, C, Un * p)
+
+
 def prolong_t(e_coarse_t: jax.Array, n_coarse: int) -> jax.Array:
     """prolong() in transposed layout: (3, Cc, U) -> (3, Cf, U)."""
     parent_oh, pweights = _transfer_tables_t(n_coarse)
@@ -665,6 +681,7 @@ class SemiSolver:
         dtype = jnp.dtype(cfg.dtype)
 
         self._stencil = None
+        self._pack = [1] * len(problem.levels)
         if (cfg.stencil_operator
                 and 4 ** cfg.n_split <= cfg.stencil_max_children):
             from ..ops import fused as _fused
@@ -684,6 +701,32 @@ class SemiSolver:
             elif cfg.coarse_operator != "geometric":
                 raise ValueError(
                     f"unknown coarse_operator {cfg.coarse_operator!r}")
+            # macro-packed coarse levels (ops/stencil.pack_stencil): same
+            # operator relabeled to p-fold fewer lane tiles, so the phase
+            # kernel — nearly pure per-grid-step floor at small C — runs
+            # ~p-fold fewer steps.  Skipped for levels the SA correction
+            # or the dense coarse inverse consume (their builders assume
+            # the splitting lattice / unpacked flat order).
+            self._pack = [1] * len(datas)
+            if cfg.coarse_pack > 1:
+                pk = cfg.coarse_pack
+                nlv = len(datas)
+                for li in range(1, nlv):
+                    U_l, C_l = datas[li].self_blocks.shape[:2]
+                    N_l = U_l * C_l * 3
+                    dense_last = (li == nlv - 1
+                                  and N_l <= cfg.coarse_direct_max_dof)
+                    # mirror of the agg-engagement condition below: the
+                    # SA builder assumes the splitting lattice, so the
+                    # level it will consume stays unpacked
+                    agg_last = (li == nlv - 1 and cfg.coarse_agg
+                                and not cfg.coarse_krylov
+                                and not dense_last
+                                and N_l > cfg.agg_dense_max_dof)
+                    if (U_l % pk == 0 and C_l * pk <= 64
+                            and not agg_last and not dense_last):
+                        datas[li] = _stencil.pack_stencil(datas[li], pk)
+                        self._pack[li] = pk
             self._stencil = [_stencil.StencilOperator(d, dtype)
                              for d in datas]
 
@@ -861,11 +904,28 @@ class SemiSolver:
         # is fatal
         return 1.2 * float(power(v0))
 
+    def _coarse_cheb_override(self, li: int) -> bool:
+        return (self.cfg.coarse_cheb_degree is not None
+                and len(self.p.levels) > 1
+                and li == len(self.p.levels) - 1)
+
     def _cheb_roots(self, li: int):
         from ..ops import smoothers
         cfg = self.cfg
-        return smoothers.chebyshev_roots(self._lam_max[li], cfg.cheb_degree,
-                                         cfg.cheb_lower)
+        deg, lower = cfg.cheb_degree, cfg.cheb_lower
+        if self._coarse_cheb_override(li):
+            deg = cfg.coarse_cheb_degree
+            if cfg.coarse_cheb_lower is not None:
+                lower = cfg.coarse_cheb_lower
+        return smoothers.chebyshev_roots(self._lam_max[li], deg, lower)
+
+    def _cheb_reps(self, li: int, sweeps: int, n_roots: int) -> int:
+        """Polynomial repetitions: with a coarse-degree override the
+        polynomial IS the coarse solve — exactly one rep regardless of
+        coarse_sweeps (the knob that sized the default repetition)."""
+        if self._coarse_cheb_override(li):
+            return 1
+        return max(1, sweeps // n_roots)
 
     def _smooth_fused_t(self, li: int, xt, bt, sweeps: int, with_bc: bool):
         """Chebyshev/block-Jacobi smoothing entirely in transposed layout:
@@ -887,7 +947,7 @@ class SemiSolver:
                     z = solve_blocks(bt - op.apply(xt, with_bc))
                     xt = xt + z / jnp.asarray(r, xt.dtype)
                 return xt, None
-            sweeps = max(1, sweeps // cfg.cheb_degree)
+            sweeps = self._cheb_reps(li, sweeps, len(order))
         else:  # BLOCK_JACOBI
             def body(xt, _):
                 z = solve_blocks(bt - op.apply(xt, with_bc))
@@ -906,9 +966,10 @@ class SemiSolver:
             f = self._fmod
             op = self._stencil[li]
             if cfg.solver == Solver.CHEBYSHEV:
+                roots = self._cheb_roots(li)
                 xt = op.smooth_chebyshev(
-                    f.to_t(x), f.to_t(b), self._cheb_roots(li),
-                    max(1, sweeps // cfg.cheb_degree), with_bc)
+                    f.to_t(x), f.to_t(b), roots,
+                    self._cheb_reps(li, sweeps, len(roots)), with_bc)
             else:
                 xt = op.smooth_jacobi(f.to_t(x), f.to_t(b), omega, sweeps,
                                       with_bc)
@@ -925,8 +986,10 @@ class SemiSolver:
         if cfg.solver == Solver.CHEBYSHEV:
             Ainv = self._block_inv[li]
             solve = lambda r: jnp.einsum("ucij,ucj->uci", Ainv, r)
-            return smoothers.chebyshev(A, b, x, solve, self._cheb_roots(li),
-                                       max(1, sweeps // cfg.cheb_degree))
+            roots = self._cheb_roots(li)
+            return smoothers.chebyshev(A, b, x, solve, roots,
+                                       self._cheb_reps(li, sweeps,
+                                                       len(roots)))
         if cfg.solver == Solver.RICHARDSON:
             return smoothers.richardson(A, b, x, omega, sweeps)
         if cfg.solver == Solver.BLOCK_JACOBI:
@@ -964,8 +1027,10 @@ class SemiSolver:
         cfg = self.cfg
         op = self._stencil[li]
         if cfg.solver == Solver.CHEBYSHEV:
-            return op.smooth_chebyshev(x_t, b_t, self._cheb_roots(li),
-                                       max(1, sweeps // cfg.cheb_degree),
+            roots = self._cheb_roots(li)
+            return op.smooth_chebyshev(x_t, b_t, roots,
+                                       self._cheb_reps(li, sweeps,
+                                                       len(roots)),
                                        with_bc)
         return op.smooth_jacobi(x_t, b_t, cfg.omega, sweeps, with_bc)
 
@@ -986,7 +1051,7 @@ class SemiSolver:
         cfg = self.cfg
         if cfg.solver == Solver.CHEBYSHEV:
             roots = self._cheb_roots(li)
-            reps = max(1, sweeps // cfg.cheb_degree)
+            reps = self._cheb_reps(li, sweeps, len(roots))
             return [1.0 / r for r in roots] * reps
         return [cfg.omega] * sweeps
 
@@ -1040,6 +1105,17 @@ class SemiSolver:
         return x_t + from_flat(e_fine_t)
 
     def _vcycle_t(self, li: int, x_t, b_t, hom: bool = False):
+        """Level-li V-cycle in the transposed layout.  Packed levels
+        (cfg.coarse_pack) convert in/out here, so callers and the
+        geometric transfers always see the unpacked (3, C, U) layout."""
+        pk = self._pack[li]
+        if pk == 1:
+            return self._vcycle_t_body(li, x_t, b_t, hom)
+        out = self._vcycle_t_body(li, pack_x_t(x_t, pk),
+                                  pack_x_t(b_t, pk), hom)
+        return unpack_x_t(out, pk)
+
+    def _vcycle_t_body(self, li: int, x_t, b_t, hom: bool = False):
         cfg = self.cfg
         nl = len(self.p.levels)
         with_bc = li == 0 and not hom
@@ -1069,6 +1145,9 @@ class SemiSolver:
             coefs = self._phase_coefs(li, cfg.n_smooth)
             x_t, z_t = ph.phase(x_t, bp, coefs)
             r_t = ph.mul_self(z_t)                 # r = D z = b - A x
+            pk = self._pack[li]
+            if pk > 1:                 # transfers run in the unpacked layout
+                r_t = unpack_x_t(r_t, pk)
             bc_ = self._restrict_t(r_t, self.p.levels[li + 1]["s"])
             e_t = self._vcycle_t(li + 1, jnp.zeros_like(bc_), bc_, hom)
             if cfg.cycle_type == "w" and li < 2:
@@ -1076,7 +1155,8 @@ class SemiSolver:
                 # visits into the XLA graph (compile explosion at 6
                 # levels) for marginal benefit below the top pairs
                 e_t = self._vcycle_t(li + 1, e_t, bc_, hom)
-            x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
+            corr = prolong_t(e_t, self.p.levels[li + 1]["s"])
+            x_t = x_t + (pack_x_t(corr, pk) if pk > 1 else corr)
             return ph.phase(x_t, bp, coefs, want_z=False)[0]
         if self._agg is not None and li == self._agg_li:
             x_t = self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
@@ -1094,11 +1174,15 @@ class SemiSolver:
                 cfg.coarse_sweeps if nl > 1 else cfg.n_smooth, with_bc)
         x_t = self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
         r_t = b_t - op.apply(x_t, with_bc)
+        pk = self._pack[li]
+        if pk > 1:                     # transfers run in the unpacked layout
+            r_t = unpack_x_t(r_t, pk)
         bc_ = self._restrict_t(r_t, self.p.levels[li + 1]["s"])
         e_t = self._vcycle_t(li + 1, jnp.zeros_like(bc_), bc_, hom)
         if cfg.cycle_type == "w" and li < 2:
             e_t = self._vcycle_t(li + 1, e_t, bc_, hom)
-        x_t = x_t + prolong_t(e_t, self.p.levels[li + 1]["s"])
+        corr = prolong_t(e_t, self.p.levels[li + 1]["s"])
+        x_t = x_t + (pack_x_t(corr, pk) if pk > 1 else corr)
         return self._smooth_t(li, x_t, b_t, cfg.n_smooth, with_bc)
 
     def _rhs_t(self, told_t):

@@ -516,15 +516,32 @@ def _padded_transfer(P, n_rows_blk: int, n_cols_blk: int):
 
 
 def _mk_rowop(cols: np.ndarray, vals: np.ndarray, n_out: int, n_src: int,
-              dtype, interpret: bool, group: int = 8, kchunk: int = 8):
+              dtype, interpret: bool, group: int = 8, kchunk: int = 18):
     """(cols, vals) block rows -> callable y = Op(x), x (n_src, b).
 
     The square padded embedding uses ``group=8`` source grouping (keeps
-    every Mosaic sublane dimension a multiple of 8) and splits operators
-    wider than ``kchunk`` slots into summed sub-operators so the in-kernel
-    gather mask stays within VMEM.  Falls back to the einsum gather (None)
-    when no chunk can use the banded kernel.
+    every Mosaic sublane dimension a multiple of 8; larger groups measured
+    4x SLOWER at the production level-0 shape — the grouped-layout
+    relayout dominates) and splits operators wider than ``kchunk`` slots
+    into summed sub-operators so the in-kernel gather mask stays within
+    VMEM.  ``kchunk=18`` covers every production degree in ONE kernel
+    launch (measured 5% faster than two 8-wide chunks at level 0, and one
+    launch instead of 2-3 per apply); when that single wide chunk fails
+    the kernel's VMEM check the builder retries at kchunk=8 before giving
+    up.  Falls back to the einsum gather (None) when no chunking works.
     """
+    ladder = [kchunk] + ([8] if kchunk > 8 else [])
+    for kc_try in ladder:
+        fn = _mk_rowop_at(cols, vals, n_out, n_src, dtype, interpret,
+                          group, kc_try)
+        if fn is not None:
+            return fn
+    return None
+
+
+def _mk_rowop_at(cols: np.ndarray, vals: np.ndarray, n_out: int,
+                 n_src: int, dtype, interpret: bool, group: int,
+                 kchunk: int):
     from .bsr import BSR
     from .pallas_bsr import PallasSpMV
 
@@ -541,7 +558,6 @@ def _mk_rowop(cols: np.ndarray, vals: np.ndarray, n_out: int, n_src: int,
     first = cols[np.arange(cols.shape[0]), np.argmax(has, axis=1)]
     cols = np.where(has, cols, first[:, None])
     fns = []
-    any_pallas = False
     for k0 in range(0, D, kchunk):
         kc = min(kchunk, D - k0)
         # pad rows repeat the LAST REAL row's columns (vals stay zero): a
@@ -561,17 +577,11 @@ def _mk_rowop(cols: np.ndarray, vals: np.ndarray, n_out: int, n_src: int,
         try:
             fns.append(PallasSpMV(A_host, interpret=interpret,
                                   group=group, src_rows=n_sp))
-            any_pallas = True
         except ValueError:
-            fns.append(BSR(cols=jnp.asarray(A_host.cols),
-                           vals=jnp.asarray(A_host.vals)).spmv)
-    if not any_pallas:
-        return None          # caller uses the single einsum-gather path
-
-    def call_t(fn, x_pad_t):
-        if hasattr(fn, "apply_t"):
-            return fn.apply_t(x_pad_t)
-        return fn(x_pad_t.T).T           # XLA-BSR fallback chunk
+            # a non-banded chunk: this kchunk is infeasible — the ladder
+            # in _mk_rowop retries narrower before the einsum fallback
+            # (an XLA-BSR gather chunk measured 11+ ms; never mix it in)
+            return None
 
     def op_t(x_t):
         """Transposed contract: (b, n_src) -> (b, n_out) — std-layout
@@ -579,9 +589,9 @@ def _mk_rowop(cols: np.ndarray, vals: np.ndarray, n_out: int, n_src: int,
         keeps everything (3, N) end to end."""
         x_pad = jnp.zeros((b, n_sp), x_t.dtype).at[:, : x_t.shape[1]].set(
             x_t)
-        y = call_t(fns[0], x_pad)
+        y = fns[0].apply_t(x_pad)
         for fn in fns[1:]:
-            y = y + call_t(fn, x_pad)
+            y = y + fn.apply_t(x_pad)
         return y[:, :n_out]
     return op_t
 

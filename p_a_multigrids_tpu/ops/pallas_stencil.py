@@ -108,33 +108,39 @@ class PhaseOperator:
         self.TU = self._pick_tu(U, C, dtype.itemsize)
         self.T = U // self.TU
 
-        # slot regrouping: canonical slot order -> (macro face, position)
-        mf_of = splitting.CHILD2MACRO_FACE[data.bnd_f]       # (nb,)
-        groups = [np.nonzero(mf_of == mf)[0] for mf in range(3)]
-        m = nb // 3
+        # slot regrouping: canonical slot order -> (face group, position);
+        # F = 3 macro faces, or 3*p groups on a macro-packed level
+        from .stencil import slot_groups
+        _, groups, F = slot_groups(data)
+        self.F = F
+        m = nb // F if nb else 0
         assert all(len(g) == m for g in groups)
         self.m = m
-        order = np.concatenate(groups)                       # kernel order
+        order = np.concatenate(groups) if nb else np.zeros((0,), np.int64)
 
         hs = np.asarray(data.halo_src)                       # (U, nb)
-        src_c = (hs % C)[:, order].T.reshape(3, m, U)        # (3, m, U)
-        src_u = (hs // C)[:, order].T.reshape(3, m, U)
-        # all slots of one macro face source the same neighbor macro
-        assert (src_u == src_u[:, :1]).all()
-        src_u = src_u[:, 0]                                  # (3, U)
+        if nb:
+            src_c = (hs % C)[:, order].T.reshape(F, m, U)    # (F, m, U)
+            src_u = (hs // C)[:, order].T.reshape(F, m, U)
+            # all slots of one face group source the same neighbor macro
+            assert (src_u == src_u[:, :1]).all()
+            src_u = src_u[:, 0]                              # (F, U)
+        else:
+            src_c = np.zeros((F, 1, U), np.int64)
+            src_u = np.zeros((F, U), np.int64)
 
         # per-tile band: [off_t, off_t + W) must cover every source macro;
         # aligned_band keeps each offset a true multiple of ALIGN (the
         # pl.multiple_of promise in the kernel) by widening W as needed
         from .banding import aligned_band
-        lo = src_u.reshape(3, self.T, self.TU).min(axis=(0, 2))
-        hi = src_u.reshape(3, self.T, self.TU).max(axis=(0, 2))
+        lo = src_u.reshape(F, self.T, self.TU).min(axis=(0, 2))
+        hi = src_u.reshape(F, self.T, self.TU).max(axis=(0, 2))
         W, offs = aligned_band(lo, hi, U, self.ALIGN, wmin=wmin)
         self.W = W
         self.offs = offs.astype(np.int32)                    # (T,)
         self.src_rel = (src_u
                         - offs[(np.arange(U) // self.TU)][None]).astype(
-                            np.int32)                        # (3, U)
+                            np.int32)                        # (F, U)
         self.src_c = src_c.astype(np.int32)
 
         # premultiplied blocks: reuse the StencilOperator's device arrays
@@ -200,18 +206,19 @@ class PhaseOperator:
                   for f in range(3)]
 
             # cross-macro strips: banded one-hot matmul over the macro axis,
-            # then per-slot child selection — all data VMEM-resident
+            # then per-slot child selection — all data VMEM-resident.
+            # F face groups (3, or 3*p on a packed level)
             sv = None
             if nb:
-                srel = srel_ref[:]                           # (3, TU)
-                sc = sc_ref[:]                               # (3, m, TU)
+                srel = srel_ref[:]                           # (F, TU)
+                sc = sc_ref[:]                               # (F, m, TU)
                 band2 = band.reshape(3 * C, W)
                 iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, TU), 0)
                 iota_c = jax.lax.broadcasted_iota(
                     jnp.int32, (m, C, TU), 1)
                 sv = []                                      # [j] -> (nb, TU)
                 parts = [[] for _ in range(3)]
-                for mf in range(3):
+                for mf in range(self.F):
                     mask = (iota_w == srel[mf][None, :]).astype(band2.dtype)
                     full = _exact_dot(band2, mask).reshape(3, C, TU)
                     sel = (iota_c == sc[mf][:, None, :]).astype(band2.dtype)
@@ -286,9 +293,9 @@ class PhaseOperator:
                              memory_space=pltpu.VMEM),        # bp
                 fp_spec,                                      # Fp
                 xp_spec,                                      # Xp
-                pl.BlockSpec((3, TU), im_t(0,),
+                pl.BlockSpec((self.F, TU), im_t(0,),
                              memory_space=pltpu.VMEM),        # src_rel
-                pl.BlockSpec((3, max(m, 1), TU), im_t(0, 0),
+                pl.BlockSpec((self.F, max(m, 1), TU), im_t(0, 0),
                              memory_space=pltpu.VMEM),        # src_c
                 pl.BlockSpec((3, C, C), im(0, 0, 0),
                              memory_space=pltpu.VMEM),        # intra_oh
@@ -470,6 +477,9 @@ class PhaseOperatorResident(PhaseOperator):
 
     def __init__(self, op: StencilOperator, interpret: bool = False,
                  wmin: int = 0):
+        if getattr(op._data, "slot_mf", None) is not None:
+            raise ValueError("resident lattice kernel: packed levels are "
+                             "not on the splitting lattice")
         # deliberately NOT calling super().__init__: the streaming kernel's
         # table construction (and its VMEM check) does not apply here
         self.op = op
@@ -812,11 +822,18 @@ def make_phase(op: StencilOperator, interpret: bool = False,
     # compact child axis AND zero per-round coefficient traffic), then
     # streaming; the padded-lattice kernel handles deep C and the shapes
     # that crash the streaming kernel's AOT compile (C >= 256 or
-    # U % 128 != 0, scripts/repro_stream_aot.py)
+    # U % 128 != 0, scripts/repro_stream_aot.py).  Macro-packed levels
+    # (slot_mf set) are not on the splitting lattice — the lattice kernel
+    # is excluded for them.
+    packed = getattr(op._data, "slot_mf", None) is not None
     stream_ok = op.C <= 64 and op.U % 128 == 0
-    order = ([PhaseOperatorCoefResident, PhaseOperator,
-              PhaseOperatorResident] if stream_ok
-             else [PhaseOperatorResident, PhaseOperator])
+    if packed:
+        order = [PhaseOperatorCoefResident, PhaseOperator]
+    elif stream_ok:
+        order = [PhaseOperatorCoefResident, PhaseOperator,
+                 PhaseOperatorResident]
+    else:
+        order = [PhaseOperatorResident, PhaseOperator]
     for cls in order:
         try:
             return cls(op, interpret=interpret, wmin=wmin)

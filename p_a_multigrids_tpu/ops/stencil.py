@@ -53,6 +53,88 @@ class StencilData:
     bnd_f: np.ndarray          # (nb,) strip face of each slot
     intra_onehot: np.ndarray   # (3, C, C): xg[f] = intra_onehot[f] @ x-plane
     cross_onehot: np.ndarray   # (3, C, nb): + cross_onehot[f] @ strip
+    # strip-slot face-group ids (nb,): slots of one group source the SAME
+    # neighbor macro per row.  None = the standard 3 macro faces (derived
+    # from bnd_f); macro-packed operators (pack_stencil) carry 3*p groups
+    slot_mf: np.ndarray | None = None
+
+
+def slot_groups(data: StencilData):
+    """(mf_of, groups, F): the strip-slot face grouping.
+
+    Every strip/phase consumer needs slots grouped so that all slots of a
+    group source one neighbor macro per row (the banded-gather invariant).
+    Plain levels have 3 groups (the macro faces); packed levels carry an
+    explicit ``slot_mf`` with 3*p groups of equal size.
+    """
+    bnd_f = np.asarray(data.bnd_f)
+    if getattr(data, "slot_mf", None) is not None:
+        mf_of = np.asarray(data.slot_mf)
+        F = int(mf_of.max()) + 1 if len(mf_of) else 3
+    else:
+        mf_of = splitting.CHILD2MACRO_FACE[bnd_f]
+        F = 3
+    groups = [np.nonzero(mf_of == mf)[0] for mf in range(F)]
+    return mf_of, groups, F
+
+
+def pack_stencil(data: StencilData, p: int) -> StencilData:
+    """Re-index a level's stencil as (U/p packs) x (p*C children).
+
+    A pure RELABELING of the same operator: macro u = q*p + j becomes
+    child block j of pack q (new child c' = j*C + c), so the macro (lane)
+    axis shrinks p-fold and the child (sublane) axis grows p-fold.  The
+    fused phase kernels iterate grid steps over (rounds x U/TU tiles), so
+    a level whose arithmetic is far below the per-step floor — the
+    geometric C=4 coarse level costs as much as the fine level with 4x
+    less math (docs/PROFILE_r4.md) — runs ~p-fold fewer latency-bound
+    steps after packing.  Former cross-macro couplings STAY cross slots
+    (their source may now be the pack itself — the banded strip gather
+    covers self sources), grouped per (member, macro face): 3*p groups
+    recorded in ``slot_mf``, each sourcing one pack per row, preserving
+    the strip machinery's invariant.
+
+    Replaces nothing in the reference — the reference's serial loops have
+    no per-step floor to amortize; this is TPU-only restructuring
+    (SURVEY §7's "compiler-friendly control flow" rule applied to the
+    Mosaic grid).
+    """
+    U, C = data.self_blocks.shape[:2]
+    nb = data.cross_blocks.shape[1]
+    if U % p:
+        raise ValueError(f"pack_stencil: U={U} not divisible by p={p}")
+    if getattr(data, "slot_mf", None) is not None:
+        raise ValueError("pack_stencil: data is already packed")
+    Un, Cn, nbn = U // p, p * C, p * nb
+
+    intra = np.zeros((3, Cn, Cn))
+    for j in range(p):
+        intra[:, j * C:(j + 1) * C, j * C:(j + 1) * C] = data.intra_onehot
+
+    bnd_c = (np.arange(p)[:, None] * C
+             + np.asarray(data.bnd_c)[None, :]).reshape(-1)
+    bnd_f = np.tile(np.asarray(data.bnd_f), p)
+    cross_onehot = np.zeros((3, Cn, max(nbn, 1)))
+    if nbn:
+        cross_onehot[bnd_f, bnd_c, np.arange(nbn)] = 1.0
+
+    hs = np.asarray(data.halo_src)                       # (U, nb) u*C + c
+    u_src, c_src = hs // C, hs % C
+    halo_src = ((u_src // p) * Cn + (u_src % p) * C
+                + c_src).reshape(Un, nbn)
+
+    mf_old = splitting.CHILD2MACRO_FACE[np.asarray(data.bnd_f)]
+    slot_mf = (np.arange(p)[:, None] * 3 + mf_old[None, :]).reshape(-1)
+
+    return StencilData(
+        self_blocks=data.self_blocks.reshape(Un, Cn, 3, 3),
+        face_blocks=data.face_blocks.reshape(Un, Cn, 3, 3, 3),
+        cross_blocks=data.cross_blocks.reshape(Un, nbn, 3, 3),
+        c_aff=data.c_aff.reshape(Un, Cn, 3),
+        halo_src=halo_src,
+        bnd_c=bnd_c.astype(np.int32), bnd_f=bnd_f.astype(np.int32),
+        intra_onehot=intra, cross_onehot=cross_onehot,
+        slot_mf=slot_mf.astype(np.int32))
 
 
 def _distance2_coloring(cn: np.ndarray) -> np.ndarray:
@@ -461,12 +543,18 @@ class StencilOperator:
         self._dinv_np = Dinv
         # static intra-neighbor rows for the large-C gather path (the
         # (C, C) one-hot matmul costs O(C^2) FLOPs and constant-folding
-        # pain at C >= 256; a static row gather is O(C))
-        cn = splitting.child_neighbors(
-            int(round(np.log(C) / np.log(4))) if C > 1 else 0)
-        self._intra_rows = np.where(cn >= 0, cn,
-                                    np.arange(C)[:, None]).T.astype(
-                                        np.int32)            # (3f, C)
+        # pain at C >= 256; a static row gather is O(C)).  Packed child
+        # axes are not the splitting lattice; they stay on the one-hot
+        # path (small C by construction), so no row table is needed.
+        if getattr(data, "slot_mf", None) is None:
+            cn = splitting.child_neighbors(
+                int(round(np.log(C) / np.log(4))) if C > 1 else 0)
+            self._intra_rows = np.where(cn >= 0, cn,
+                                        np.arange(C)[:, None]).T.astype(
+                                            np.int32)        # (3f, C)
+        else:
+            assert C <= 64, "packed operators require the one-hot path"
+            self._intra_rows = None
 
     def _strip_tables(self, data: StencilData, hs: np.ndarray, dtype):
         """Static tables turning the cross-macro strip exchange into a
@@ -487,14 +575,13 @@ class StencilOperator:
         nbc = len(uniq_c)
         qpos = np.zeros(C, np.int64)
         qpos[uniq_c] = np.arange(nbc)
-        mf_of = splitting.CHILD2MACRO_FACE[data.bnd_f]       # (nb,)
-        group_slots = [np.nonzero(mf_of == mf)[0] for mf in range(3)]
-        m = nb // 3
+        _, group_slots, F = slot_groups(data)
+        m = nb // F
         assert all(len(g) == m for g in group_slots)
-        face_src = np.zeros((3, U), np.int32)
-        sel = np.zeros((3, U, m, nbc))
+        face_src = np.zeros((F, U), np.int32)
+        sel = np.zeros((F, U, m, nbc))
         for mf, g in enumerate(group_slots):
-            # all slots of one macro face source the same neighbor macro
+            # all slots of one group source the same neighbor macro
             assert (src_u[:, g] == src_u[:, g[:1]]).all()
             face_src[mf] = src_u[:, g[0]]
             u_idx = np.arange(U)[:, None]
@@ -502,11 +589,11 @@ class StencilOperator:
         # canonical slot order: slot -> (group, position) inverse permutation
         order = np.concatenate(group_slots)
         inv_perm = np.argsort(order).astype(np.int32)
-        self._nbc, self._m = nbc, m
+        self._nbc, self._m, self._F = nbc, m, F
         return dict(
             strip_pack_rows=uniq_c.astype(np.int32),         # (nbc,)
-            strip_face_src=face_src,                         # (3, U)
-            strip_sel=np.asarray(sel, dtype),                # (3, U, m, nbc)
+            strip_face_src=face_src,                         # (F, U)
+            strip_sel=np.asarray(sel, dtype),                # (F, U, m, nbc)
             strip_inv_perm=inv_perm,                         # (nb,)
         )
 
@@ -517,13 +604,13 @@ class StencilOperator:
         One static row-pack, one (3U, 3*nbc)-row gather over the macro axis,
         one static one-hot contraction — no element-wise gathers.
         """
-        nbc, m = self._nbc, self._m
+        nbc, m, F = self._nbc, self._m, self._F
         sp = x_t[:, self.strip_pack_rows, :]                 # (3, nbc, U)
         rows = sp.reshape(3 * nbc, self.U).T                 # (U, 3*nbc)
-        g = rows[self.strip_face_src]                        # (3, U, 3*nbc)
-        g = g.reshape(3, self.U, 3, nbc)                     # (mf, u, j, q)
+        g = rows[self.strip_face_src]                        # (F, U, 3*nbc)
+        g = g.reshape(F, self.U, 3, nbc)                     # (mf, u, j, q)
         sv = jnp.einsum("mujq,mukq->jmku", g, self.strip_sel)
-        sv = sv.reshape(3, 3 * m, self.U)                    # grouped slots
+        sv = sv.reshape(3, F * m, self.U)                    # grouped slots
         return sv[:, self.strip_inv_perm, :]                 # canonical order
 
     # -- application ---------------------------------------------------------
@@ -617,15 +704,24 @@ class StencilOperator:
         v = rng.normal(size=(U, C, 3))
 
         oh_all = d.cross_onehot.sum(axis=0)                  # (C, nb)
-        cn = splitting.child_neighbors(
-            int(round(np.log(C) / np.log(4))) if C > 1 else 0)
-        cn_safe = np.where(cn >= 0, cn, np.arange(C)[:, None])  # (C, 3)
+        packed = getattr(d, "slot_mf", None) is not None
+        if not packed:
+            cn = splitting.child_neighbors(
+                int(round(np.log(C) / np.log(4))) if C > 1 else 0)
+            cn_safe = np.where(cn >= 0, cn, np.arange(C)[:, None])  # (C, 3)
 
         def apply_np(x):
             out = np.einsum("ucij,ucj->uci", Sp, x, optimize=True)
             for f in range(3):
-                xg = x[:, cn_safe[:, f], :]        # direct gather, not 1-hot
-                xg = np.where((cn[:, f] >= 0)[None, :, None], xg, 0.0)
+                if packed:
+                    # packed child axes are not the splitting lattice —
+                    # the explicit intra one-hot is authoritative (small
+                    # C only, so the O(C^2) einsum is fine here)
+                    xg = np.einsum("cd,udj->ucj", d.intra_onehot[f], x,
+                                   optimize=True)
+                else:
+                    xg = x[:, cn_safe[:, f], :]    # direct gather, not 1-hot
+                    xg = np.where((cn[:, f] >= 0)[None, :, None], xg, 0.0)
                 out += np.einsum("ucij,ucj->uci", Fp[:, :, f], xg,
                                  optimize=True)
             if nb:

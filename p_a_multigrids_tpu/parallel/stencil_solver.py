@@ -266,6 +266,12 @@ class DistributedStencilSolver:
         if cfg.solver not in (Solver.CHEBYSHEV, Solver.BLOCK_JACOBI):
             raise ValueError("distributed stencil solver needs the "
                              "Chebyshev or block-Jacobi smoother")
+        if cfg.coarse_pack > 1:
+            raise ValueError(
+                "coarse_pack is a single-chip layout optimization; the "
+                "distributed level tables assume unpacked levels — run "
+                "with coarse_pack=1 (sharding already amortizes the "
+                "coarse level's per-step floor across chips)")
         devices = devices if devices is not None else jax.devices()
         D = len(devices)
         if mesh_shape is not None:
