@@ -3,10 +3,19 @@
 The blueprint's >= 80% scaling target is about per-chip throughput
 retention under sharding (VERDICT r3 weak #6).  Multi-chip hardware is not
 reachable from this environment, so the honest measurable number is D=1:
-the full distributed machinery — shard_map, ring halo ppermutes, extended-
-domain phase kernels, psum-restricted SA correction — on one real chip,
-compared with the serial solver on the same mesh.  Ratio ~1.0 means the
-fast path survives sharding; the r3 bar was <= 1.3x.
+the shard_map wrapping cost of the distributed machinery on one real
+chip, compared with the serial solver on the same mesh.
+
+READ THE D=1 CAVEATS before quoting the ratio (VERDICT r4 weak #1 /
+ADVICE r4): at D=1 the extended domains are disabled (He=0 — there are no
+ghost rows to smooth) and the SA correction short-circuits to the serial
+fast path (`_agg_correct`'s D==1 branch), so retention ~1.0 here measures
+that sharding adds no overhead ON TOP of the serial path — it does NOT
+exercise ring exchanges, ghost redundancy, or the psum-restricted agg
+machinery.  Those are measured at D=8 on the virtual mesh by
+scripts/bench_dist8.py (DIST_BENCH_r05.json), and this script prints the
+D=8 ghost-overhead MODEL (per-level W, He, redundant fraction under the
+chunked policy) so the real-chip artifact carries it.
 
 Writes DIST_BENCH_TPU.json and prints it.
 """
@@ -16,9 +25,40 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 
 import numpy as np
+
+
+def ghost_model_at(s, cfg, D: int):
+    """Per-level ghost-overhead model the D=1 run cannot measure: what
+    W/He/chunk/redundant_frac the solver WOULD use at D devices (same
+    formulas as DistributedStencilSolver._build_phases, computed from the
+    already-built serial twin's level tables)."""
+    U = s._stencil[0].U
+    U_loc = -(-U // D)
+    out = []
+    for li, op in enumerate(s._stencil):
+        hs = np.asarray(op._data.halo_src)
+        if hs.size == 0:
+            continue
+        src_u = hs // op.C
+        W = int(np.abs(src_u - np.arange(op.U)[:, None]).max())
+        R = len(s._phase_coefs(li, cfg.n_smooth))
+        if li == len(s._stencil) - 1 and len(s._stencil) > 1:
+            R = max(R, len(s._phase_coefs(li, cfg.coarse_sweeps)))
+        cap = cfg.dist_ghost_max_frac * U_loc
+        ks = [k for k in range(1, R + 1) if 2 * (k + 1) * W <= cap]
+        chunk = max(ks) if ks else 1
+        He = min((chunk + 1) * W, U)
+        out.append(dict(level=li, W=W, rounds=R, chunk=chunk, He=He,
+                        U_loc=U_loc,
+                        redundant_frac=round(2 * He / U_loc, 4),
+                        deep_ghost_frac=round(2 * min((R + 1) * W, U)
+                                              / U_loc, 4)))
+    return out
 
 
 def timed_scan(step, x0, n=50, reps=3):
@@ -93,7 +133,17 @@ def main():
             "dist_ms_per_cycle": round(dst * 1e3, 3),
             "retention_factor": round(dst / ser, 3),
             "pallas_phase_dist": dist._phases is not None,
-            "amg_dist": dist.atabs_dev is not None,
+            # honesty flags (ADVICE r4): at D=1 the ghost zones are empty
+            # and the SA correction short-circuits to the serial path —
+            # see the module docstring; D>1 machinery is measured in
+            # DIST_BENCH_r05.json
+            "amg_tables_built": dist.atabs_dev is not None,
+            "d1_serial_agg_shortcircuit": dist.D == 1,
+            "d1_ghost_zones_empty": all(
+                (g is None or g["He"] == 0)
+                for g in dist.ghost_report()) if dist._phases else True,
+            # what the ghosts WOULD cost at D=8 (chunked vs deep policy)
+            "ghost_model_at_D8": ghost_model_at(dist.serial, cfg, 8),
         }
     with open("DIST_BENCH_TPU.json", "w") as f:
         json.dump(out, f, indent=1)
