@@ -341,7 +341,14 @@ def main():
         # the PRODUCTION configuration on the same macro family (VERDICT
         # r4 weak #6): strength-filtered SA of the finest level, deg-16
         # phases — one row beside the deg6 geometric ladder (added after
-        # the ratio so the reference-comparable shape stays deg6-only)
+        # the ratio so the reference-comparable shape stays deg6-only).
+        # EXPECTED OUTCOME, not a regression: on this deep-split
+        # ISOTROPIC family the nested geometric hierarchy is the right
+        # tool (rows above) and the SA-corrects-finest config is weak
+        # (rho ~0.8 at any strength, incl. 0.0 — measured r5); amg is
+        # the robustness configuration for anisotropic/unstructured
+        # macro meshes like untitled8192, where the geometric pair caps
+        # at rho ~0.87.  The row documents that boundary.
         try:
             s_p = _solver_for(mesh2, dt=1e8, n_split=5, multi_levels=1,
                               amg=True, agg_strength=0.5, cheb_degree=16,
