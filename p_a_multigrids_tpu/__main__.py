@@ -83,6 +83,18 @@ def main(argv=None):
     ap.add_argument("--agg-strength", type=float, default=0.4)
     ap.add_argument("--cheb-degree", type=int, default=6)
     ap.add_argument("--cheb-lower", type=float, default=0.1)
+    ap.add_argument("--coarse-cheb-degree", type=int, default=None,
+                    help="build ONE coarse-level Chebyshev polynomial of "
+                         "this degree instead of repeating the fine one "
+                         "(config.coarse_cheb_degree)")
+    ap.add_argument("--coarse-cheb-lower", type=float, default=None)
+    ap.add_argument("--coarse-pack", type=int, default=1,
+                    help="macro-pack factor for coarse stencil levels "
+                         "(bit-exact relabeling; single-chip only)")
+    ap.add_argument("--dist-ghost-frac", type=float, default=0.25,
+                    help="distributed ghost-zone redundancy cap "
+                         "(config.dist_ghost_max_frac; chunks smoothing "
+                         "phases between ring exchanges)")
     ap.add_argument("--cycle-type", type=str, default="v",
                     choices=["v", "w"])
     ap.add_argument("--restrictor", type=str, default="linear",
@@ -216,6 +228,10 @@ def _dispatch(args, out, dtype, load_mesh, problem_fns):
             restrictor=args.restrictor, krylov=args.krylov,
             krylov_tol=args.krylov_tol, amg=args.amg,
             agg_strength=args.agg_strength,
+            coarse_cheb_degree=args.coarse_cheb_degree,
+            coarse_cheb_lower=args.coarse_cheb_lower,
+            coarse_pack=args.coarse_pack,
+            dist_ghost_max_frac=args.dist_ghost_frac,
             physics=Physics(k=args.k, u=tuple(args.u),
                             advection=any(args.u),
                             surface_terms=not args.no_surface_terms),

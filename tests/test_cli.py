@@ -132,3 +132,27 @@ def test_mode9_expression_flags(capsys):
     assert np.isfinite(out["L1_error"])
     assert out["L1_error"] < 0.5
     assert out["residual_history"][-1] < out["residual_history"][0]
+
+
+def test_mode9_round5_knobs(capsys, ref_meshdir):
+    """--coarse-pack/--coarse-cheb-degree plumb through to SemiConfig
+    (round 5).  On this tiny mesh the dense coarse inverse engages, so
+    packing auto-skips (protected level) and the run must still converge
+    — the flags' engagement itself is pinned by tests/test_pack.py."""
+    out = _run(capsys, [
+        "--mode", "9", "--mesh", f"{ref_meshdir}/test_sn2.msh",
+        "--n-split", "2", "--levels", "2", "--ntime", "2",
+        "--dt", "100000.0", "--n-multigrid", "4",
+        "--coarse-pack", "2", "--coarse-cheb-degree", "10",
+        "--coarse-cheb-lower", "0.02"])
+    assert np.isfinite(out["L1_error"]) and out["L1_error"] < 0.05
+
+
+def test_mode9_distributed_ghost_frac(capsys, ref_meshdir):
+    """--dist-ghost-frac reaches the sharded solver's chunking policy."""
+    out = _run(capsys, [
+        "--mode", "9", "--mesh", f"{ref_meshdir}/test_sn2.msh",
+        "--n-split", "2", "--levels", "2", "--ntime", "1",
+        "--dt", "100000.0", "--devices", "2", "--dist-ghost-frac", "0.0"])
+    assert out["devices"] == 2
+    assert np.isfinite(out["L1_error"])
