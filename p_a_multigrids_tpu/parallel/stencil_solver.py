@@ -662,13 +662,27 @@ class DistributedStencilSolver:
             x_rep = x_rep + w * self._ag(z_loc)
         return x_rep
 
+    def _agg_smooth_from_zero(self, at, k, b_rep, sweeps):
+        """_agg_smooth with x0 = 0: the first sweep's rowop apply of the
+        zero iterate is skipped (mirror of ops.agg._smooth_from_zero)."""
+        lvl = at["levels"][k]
+        mv = self._ameta["levels"][k]
+        w = jnp.asarray(mv["omega"], b_rep.dtype)
+        d = self._flat_idx()
+        N_loc = mv["N_loc"]
+        b_loc = jax.lax.dynamic_slice_in_dim(b_rep, d * N_loc, N_loc)
+        z_loc = jnp.einsum("nij,nj->ni", lvl["dinv"][0], b_loc)
+        x = w * self._ag(z_loc)
+        if sweeps > 1:
+            x = self._agg_smooth(at, k, x, b_rep, sweeps - 1)
+        return x
+
     def _agg_vcycle(self, at, k, b_rep):
         """Mirror of ops.agg.vcycle with sharded rows + replicated iterate."""
         lvl = at["levels"][k]
         mv = self._ameta["levels"][k]
         sweeps = self._ameta["sweeps"]
-        x = jnp.zeros_like(b_rep)
-        x = self._agg_smooth(at, k, x, b_rep, sweeps)
+        x = self._agg_smooth_from_zero(at, k, b_rep, sweeps)
         d = self._flat_idx()
         N_loc = mv["N_loc"]
         b_loc = jax.lax.dynamic_slice_in_dim(b_rep, d * N_loc, N_loc)
