@@ -371,15 +371,21 @@ class DistributedStencilSolver:
                 R = max(R, len(self._coefs_coarse))
             Wr = self.meta[li]["W"]
             if self.D == 1 or Wr == 0:
-                chunk, He = R, 0
+                chunk, He_fin, He_mid = R, 0, 0
             else:
                 cap = max(cfg.dist_ghost_max_frac, 0.0) * self.U_loc
                 ks = [k for k in range(1, R + 1)
                       if 2 * (k + 1) * Wr <= cap]
                 chunk = max(ks) if ks else 1
-                He = min((chunk + 1) * Wr, self.U)
-            U_ext = self.U_loc + 2 * He
-            try:
+                # final-chunk geometry carries the +1 band for the z
+                # (residual) round; NON-final chunks only advance x, so
+                # k*W ghost rows suffice — at chunk=1 this HALVES the
+                # redundant smoothing of every round but the last
+                He_fin = min((chunk + 1) * Wr, self.U)
+                He_mid = min(chunk * Wr, self.U)
+
+            def build_geom(He):
+                U_ext = self.U_loc + 2 * He
                 kers = None
                 wmin = 0
                 for _ in range(6):
@@ -401,17 +407,28 @@ class DistributedStencilSolver:
                 else:
                     raise ValueError("band width did not unify across "
                                      "devices")
+                host = [k.arg_tables_host() for k in kers]
+                stacked = {key: np.stack([h[key] for h in host])
+                           for key in host[0]}
+                return kers[0], stacked
+
+            try:
+                ker, tabs = build_geom(He_fin)
+                entry = dict(ker=ker, He=He_fin, chunk=chunk, tabs=tabs,
+                             specs={key: P(_AXIS) for key in tabs})
+                # a mid-chunk geometry pays off only when phases actually
+                # split AND the band shrink is real
+                if chunk < R and He_mid < He_fin:
+                    ker_m, tabs_m = build_geom(He_mid)
+                    entry.update(
+                        ker_mid=ker_m, He_mid=He_mid, tabs_mid=tabs_m,
+                        specs_mid={key: P(_AXIS) for key in tabs_m})
             except ValueError as e:
                 print(f"distributed pallas_phase disabled at level {li}: "
                       f"{e}")
                 out.append(None)
                 continue
-            host = [k.arg_tables_host() for k in kers]
-            stacked = {key: np.stack([h[key] for h in host])
-                       for key in host[0]}
-            specs = {key: P(_AXIS) for key in stacked}
-            out.append(dict(ker=kers[0], He=He, chunk=chunk, tabs=stacked,
-                            specs=specs))
+            out.append(entry)
         if all(p is None for p in out):
             return None
         return out
@@ -419,12 +436,14 @@ class DistributedStencilSolver:
     def ghost_report(self):
         """Per-level deep-ghost cost of the sharded phase kernels.
 
-        ``redundant_frac`` = 2*He/U_loc: the fraction of EXTRA rows each
-        ghost-zone round smooths relative to this shard's interior — the
-        distributed design's redundant-work overhead, reported explicitly
-        so scaling artifacts carry it (VERDICT r4 #1a).  ``n_exchanges``
-        is ring messages per phase (1 = classic deep ghost).  Entries are
-        None for levels whose phase kernel is disabled.
+        ``redundant_frac``: the ROUND-AVERAGED fraction of extra ghost
+        rows each smoothing round processes relative to this shard's
+        interior — non-final chunks run on the He_mid = chunk*W geometry
+        (x only), the final chunk on He = (chunk+1)*W (it also emits the
+        residual) — the distributed design's redundant-work overhead,
+        reported explicitly so scaling artifacts carry it (VERDICT r4
+        #1a).  ``n_exchanges`` is ring messages per phase (1 = classic
+        deep ghost).  Entries are None for disabled levels.
         """
         out = []
         for li, ph in enumerate(self._phases or []):
@@ -434,13 +453,29 @@ class DistributedStencilSolver:
             R = len(self._coefs[li])
             if li == len(self.tabs) - 1:
                 R = max(R, len(self._coefs_coarse))
+            chunk = ph["chunk"]
+            He, He_mid = ph["He"], ph.get("He_mid", ph["He"])
+            n_mid_rounds = max(R - chunk, 0) if "ker_mid" in ph else 0
+            avg = (2.0 * (n_mid_rounds * He_mid
+                          + (R - n_mid_rounds) * He)
+                   / max(R, 1) / self.U_loc)
             out.append(dict(
-                level=li, W=int(self.meta[li]["W"]), He=int(ph["He"]),
-                chunk=int(ph["chunk"]), rounds=int(R),
+                level=li, W=int(self.meta[li]["W"]), He=int(He),
+                He_mid=int(He_mid), chunk=int(chunk), rounds=int(R),
                 U_loc=int(self.U_loc),
-                redundant_frac=round(2.0 * ph["He"] / self.U_loc, 4),
-                n_exchanges=int(-(-R // ph["chunk"]))))
+                redundant_frac=round(avg, 4),
+                n_exchanges=int(-(-R // chunk))))
         return out
+
+    def _phase_specs(self):
+        """Per-level (specs, specs_mid|None) matching ptabs_dev's layout
+        — shared by _put_tables/_build_step and the bench scripts."""
+        return tuple((ph["specs"], ph.get("specs_mid")) if ph else None
+                     for ph in (self._phases or []))
+
+    def _phase_tabs_host(self):
+        return [(ph["tabs"], ph.get("tabs_mid")) if ph else None
+                for ph in (self._phases or [])]
 
     # -- setup: distributed aggregation hierarchy ----------------------------
     def _build_agg_dist(self):
@@ -573,12 +608,8 @@ class DistributedStencilSolver:
                 self._remap_specs(specs),
                 is_leaf=lambda x: isinstance(x, P))
 
-        payload = [self.tabs, [ph["tabs"] if ph else None
-                               for ph in (self._phases or [])],
-                   self._atabs_host]
-        specs = [self.specs, [ph["specs"] if ph else None
-                              for ph in (self._phases or [])],
-                 self._aspecs]
+        payload = [self.tabs, self._phase_tabs_host(), self._atabs_host]
+        specs = [self.specs, list(self._phase_specs()), self._aspecs]
         put = jax.device_put(payload, shardings_of(specs))
         self.tabs_dev, self.ptabs_dev, self.atabs_dev = put
 
@@ -616,24 +647,37 @@ class DistributedStencilSolver:
         """
         ph = self._phases[li]
         ker, He, chunk = ph["ker"], ph["He"], ph["chunk"]
-        tabs = {k: v[0] for k, v in ptab.items()}        # squeeze dev axis
+        tabs_fin, tabs_mid = ptab
+        tf = {k: v[0] for k, v in tabs_fin.items()}      # squeeze dev axis
         if He == 0:
-            return ker.phase_with(tabs, x_t, bp_t, coefs, want_z)
-        # bp is loop-invariant: exchange its halo once for all groups
+            return ker.phase_with(tf, x_t, bp_t, coefs, want_z)
+        has_mid = "ker_mid" in ph and tabs_mid is not None
+        ker_m = ph.get("ker_mid")
+        He_m = ph.get("He_mid", He)
+        tm = ({k: v[0] for k, v in tabs_mid.items()} if has_mid else None)
+        # bp is loop-invariant: exchange its halo ONCE at the widest
+        # geometry; the mid geometry's window is a static center slice
         lhb, rhb = _ring_halo(bp_t, He, self.D, axis=-1, axes=self._ax)
         bp_ext = jnp.concatenate([lhb, bp_t, rhb], axis=-1)
+        bp_mid = (bp_ext[:, :, He - He_m:He + self.U_loc + He_m]
+                  if has_mid else None)
         z = None
         n = len(coefs)
         for g0 in range(0, n, chunk):
             g = coefs[g0:g0 + chunk]
-            lh, rh = _ring_halo(x_t, He, self.D, axis=-1, axes=self._ax)
+            last = g0 + chunk >= n
+            if last or not has_mid:
+                Hg, kg, tg, bg = He, ker, tf, bp_ext
+            else:
+                # non-final chunks only advance x: k*W ghost rows suffice
+                Hg, kg, tg, bg = He_m, ker_m, tm, bp_mid
+            lh, rh = _ring_halo(x_t, Hg, self.D, axis=-1, axes=self._ax)
             x_ext = jnp.concatenate([lh, x_t, rh], axis=-1)
             # the residual round runs only on the final group (and only
             # when the caller consumes z)
-            wz = want_z and (g0 + chunk >= n)
-            x_new, z = ker.phase_with(tabs, x_ext, bp_ext, g, wz)
-            x_t = x_new[:, :, He:He + self.U_loc]
-            z = z[:, :, He:He + self.U_loc]
+            x_new, z = kg.phase_with(tg, x_ext, bg, g, want_z and last)
+            x_t = x_new[:, :, Hg:Hg + self.U_loc]
+            z = z[:, :, Hg:Hg + self.U_loc]
         return x_t, z
 
     # -- distributed aggregation correction ----------------------------------
@@ -775,9 +819,7 @@ class DistributedStencilSolver:
         cfg = self.cfg
         in_specs = (self._xspec,
                     self._remap_specs(
-                        (tuple(self.specs),
-                         tuple(ph["specs"] if ph else None
-                               for ph in (self._phases or [])),
+                        (tuple(self.specs), self._phase_specs(),
                          self._aspecs)))
         shard_map = jax.shard_map
 

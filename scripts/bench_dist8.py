@@ -63,9 +63,7 @@ def cycle_fn(dist, n=3):
     tabs = (tuple(dist.tabs_dev), tuple(dist.ptabs_dev), dist.atabs_dev)
     in_specs = (dist._xspec,
                 dist._remap_specs(
-                    (tuple(dist.specs),
-                     tuple(ph["specs"] if ph else None
-                           for ph in (dist._phases or [])),
+                    (tuple(dist.specs), dist._phase_specs(),
                      dist._aspecs)))
 
     def body(x, at):
@@ -130,7 +128,6 @@ def main():
             ser = dist.serial
             T_t = _fused.to_t(ser.initial_condition())
             b_t = ser._rhs_t(T_t)
-            import jax.numpy as jnp
 
             def ser_body(x=T_t, b=b_t, s=ser):
                 for _ in range(NCYC):

@@ -53,9 +53,15 @@ def ghost_model_at(s, cfg, D: int):
         ks = [k for k in range(1, R + 1) if 2 * (k + 1) * W <= cap]
         chunk = max(ks) if ks else 1
         He = min((chunk + 1) * W, U)
+        He_mid = min(chunk * W, U)
+        # round-averaged redundancy: non-final chunks run the x-only
+        # He_mid geometry, the final chunk the (chunk+1)*W one (mirror
+        # of ghost_report)
+        n_mid = max(R - chunk, 0) if chunk < R else 0
+        avg = 2 * (n_mid * He_mid + (R - n_mid) * He) / max(R, 1) / U_loc
         out.append(dict(level=li, W=W, rounds=R, chunk=chunk, He=He,
-                        U_loc=U_loc,
-                        redundant_frac=round(2 * He / U_loc, 4),
+                        He_mid=He_mid, U_loc=U_loc,
+                        redundant_frac=round(avg, 4),
                         deep_ghost_frac=round(2 * min((R + 1) * W, U)
                                               / U_loc, 4)))
     return out
@@ -79,7 +85,6 @@ def main():
 
     from p_a_multigrids_tpu.config import SemiConfig
     from p_a_multigrids_tpu.mesh import topology
-    from p_a_multigrids_tpu.models import semi as msemi
     from p_a_multigrids_tpu.ops import fused as _fused
     from p_a_multigrids_tpu.parallel.stencil_solver import (
         DistributedStencilSolver)
@@ -118,9 +123,7 @@ def main():
             lambda x, at: dist._vcycle(at[0], at[1], at[2], 0, x, x),
             mesh=dist.jmesh,
             in_specs=(P(None, None, "dp"),
-                      (tuple(dist.specs),
-                       tuple(ph["specs"] if ph else None
-                             for ph in (dist._phases or [])),
+                      (tuple(dist.specs), dist._phase_specs(),
                        dist._aspecs)),
             out_specs=P(None, None, "dp"), check_vma=False))
         x0 = jax.device_put(np.asarray(T_t),
