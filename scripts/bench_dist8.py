@@ -142,11 +142,13 @@ def main():
         print(f"[{name}] dist {dst_ms:.1f} ms/cycle",
               file=sys.stderr, flush=True)
         ghost = [g for g in rep if g]
-        # aggregate-work model: each shard smooths U_loc + 2He rows per
-        # round vs the serial U — the compute-bound speedup ceiling of
-        # this design on D independent chips
-        work_ratio = (np.mean([(g["U_loc"] + 2 * g["He"]) / dist.U
-                               for g in ghost]) if ghost else 1.0 / 8)
+        # aggregate-work model: each shard smooths
+        # U_loc * (1 + redundant_frac) rows per round (round-averaged
+        # over the mid/final chunk geometries) vs the serial U — the
+        # compute-bound speedup ceiling on D independent chips
+        work_ratio = (np.mean([
+            (1.0 + g["redundant_frac"]) * g["U_loc"] / dist.U
+            for g in ghost]) if ghost else 1.0 / 8)
         out["configs"][name] = {
             "setup_s": round(setup_s, 2),
             "serial_ms_per_cycle": round(serial_ms[key], 2),
