@@ -212,7 +212,8 @@ def main():
 
             def solve(b):
                 return _k.pcg(
-                    lambda x: op.apply(x, False), b, _jnp.zeros_like(b),
+                    lambda x: solver._apply_t(0, x, False), b,
+                    _jnp.zeros_like(b),
                     precond=lambda r: solver._vcycle_t(
                         0, _jnp.zeros_like(r), r, hom=True),
                     tol=1e-6, maxiter=40)

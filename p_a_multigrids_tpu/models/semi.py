@@ -1068,6 +1068,24 @@ class SemiSolver:
             maxiter=self.cfg.coarse_sweeps)
         return x_sol
 
+    def _apply_t(self, li: int, x_t, with_bc: bool = False):
+        """A x in transposed layout, through the fastest path available.
+
+        With a phase kernel present, a ZERO-round phase call (load + the
+        coef-0 residual round, 2 grid rounds total) yields
+        z = -D^-1 A x, so A x = -mul_self(z) — one fused kernel launch
+        (~0.2 ms at the bench shape) instead of the XLA stencil apply's
+        one-hot gather chain (~0.43 ms measured in-graph).  Exact: the
+        kernel's z round is the same arithmetic either way.
+        """
+        op = self._stencil[li]
+        ph = self._phase[li] if self._phase is not None else None
+        if ph is None:
+            return op.apply(x_t, with_bc)
+        _, z_t = ph.phase(x_t, jnp.zeros_like(x_t), [])
+        ax = -ph.mul_self(z_t)
+        return ax + op.c_aff_t if with_bc else ax
+
     def _agg_correct_t(self, li: int, x_t, r_t):
         """Aggregation coarse-grid correction at the geometric coarsest:
         restrict the residual into the algebraic hierarchy (ops/agg),
@@ -1088,17 +1106,16 @@ class SemiSolver:
         to_flat = lambda v: jnp.swapaxes(v, 1, 2).reshape(3, U * C)
         from_flat = lambda v: jnp.swapaxes(v.reshape(3, U, C), 1, 2)
         if h.fine is not None and not cfg.physics.advection:
-            op = self._stencil[li]
             f = h.fine
             w = jnp.asarray(f["w"], r_t.dtype)
             dinv = self._agg_fine_dinv
             # P^T r = P_tent^T (r - w A D^-1 r)   [A, D symmetric]
-            y_t = r_t - w * op.apply(dinv * r_t, False)
+            y_t = r_t - w * self._apply_t(li, dinv * r_t)
             rc = _agg.tent_restrict(h, to_flat(y_t))
             e = _agg.vcycle_iter(h, rc, cfg.agg_cycles)
             ef = from_flat(_agg.tent_prolong(h, e))
             # P e = (I - w D^-1 A) P_tent e
-            e_t = ef - w * (dinv * op.apply(ef, False))
+            e_t = ef - w * (dinv * self._apply_t(li, ef))
             return x_t + e_t
         r_fine_t = to_flat(r_t)                               # e = u*C+c
         e_fine_t = _agg.correct_t(h, r_fine_t, cfg.agg_cycles)
@@ -1289,7 +1306,9 @@ class SemiSolver:
 
         cfg = self.cfg
         op = self._stencil[0]
-        A_lin = lambda x_t: op.apply(x_t, False)
+        # phase-based A apply when available (one fused kernel launch per
+        # Krylov iteration instead of the XLA gather chain — _apply_t)
+        A_lin = lambda x_t: self._apply_t(0, x_t, False)
         c = op.apply(jnp.zeros_like(b_t), True)
         b_lin = b_t - c
         precond = lambda r: self._vcycle_t(0, jnp.zeros_like(r), r, hom=True)
