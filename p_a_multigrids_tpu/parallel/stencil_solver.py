@@ -663,6 +663,14 @@ class DistributedStencilSolver:
                   if has_mid else None)
         z = None
         n = len(coefs)
+        if n == 0:
+            # pure residual evaluation (the phase-based A-apply): one
+            # exchange at the final geometry, zero relaxation rounds
+            lh, rh = _ring_halo(x_t, He, self.D, axis=-1, axes=self._ax)
+            x_ext = jnp.concatenate([lh, x_t, rh], axis=-1)
+            x_new, z = ker.phase_with(tf, x_ext, bp_ext, [], want_z)
+            return (x_new[:, :, He:He + self.U_loc],
+                    z[:, :, He:He + self.U_loc])
         for g0 in range(0, n, chunk):
             g = coefs[g0:g0 + chunk]
             last = g0 + chunk >= n
@@ -837,10 +845,21 @@ class DistributedStencilSolver:
 
             if cfg.krylov:
                 # V-cycle-preconditioned Krylov with psum-reduced dots —
-                # the distributed mirror of SemiSolver._solve_system_t
+                # the distributed mirror of SemiSolver._solve_system_t.
+                # With a phase kernel present the A apply rides a
+                # zero-round phase call (A x = -S z, z = -D^-1 A x),
+                # mirroring the serial _apply_t fast path
                 from ..ops import krylov
-                A_lin = lambda x: _apply(tab0, meta0, x, False,
-                                         self.W, self.D, ax)
+                ph0 = (self._phases[0] if self._phases is not None
+                       else None)
+
+                def A_lin(x):
+                    if ph0 is not None:
+                        _, z = self._phase_dist(
+                            0, ptabs[0], x, jnp.zeros_like(x), [])
+                        return -_mul33(tab0["S_t"], z)
+                    return _apply(tab0, meta0, x, False, self.W, self.D,
+                                  ax)
                 c = _apply(tab0, meta0, jnp.zeros_like(b_t), True,
                            self.W, self.D, ax)
                 precond = lambda r: self._vcycle(

@@ -355,3 +355,13 @@ def test_chunked_mid_geometry_bitexact():
     rep = dist.ghost_report()
     # the mid geometry actually engaged
     assert any(lv and lv["He_mid"] < lv["He"] for lv in rep)
+
+
+def test_stencil_solver_krylov_phase_apply():
+    """Distributed Krylov with pallas phases: the A apply rides a
+    zero-round phase call (A x = -S z) — mirror of the serial
+    SemiSolver._apply_t fast path; parity at Krylov tolerance."""
+    cfg = SemiConfig(n_split=2, multi_levels=2, dt=0.5, ntime=1,
+                     krylov=True, krylov_tol=1e-10, pallas_phase=True,
+                     dtype="float64")
+    _stencil_parity(cfg, n_dev=4, atol=1e-8, rtol=1e-8)
